@@ -1,0 +1,176 @@
+"""Typed configuration tree.
+
+Replaces the reference's fragmented, import-time-side-effecting config
+(reference: deep_insight_face/config.py:6-39 — a global EasyDict with an
+undefined ``args`` and a ``WEIGHTS_DIR`` that is ``None``) with one frozen
+dataclass tree and zero import-time side effects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Optional, Tuple
+
+
+def _weights_dir() -> str:
+    return os.path.join(os.path.expanduser("~"), ".deep_insight_face_tpu")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Embedding model configuration.
+
+    Mirrors the reference's FACERECO_CFG block
+    (reference: deep_insight_face/config.py:29-39) and the backbone menu of
+    networks/{siamese,triplet}.py.
+    """
+
+    backbone: str = "resnet50v2"  # resnet50v2 | mobilenetv2 | vgg16 | inception_nn4
+    head: str = "gdc"  # v1 (conv stack) | v2 (arcface-style) | gdc | none
+    embedding_size: int = 128
+    image_size: int = 112
+    channels: int = 3
+    # bf16 matmuls on the MXU; params stay fp32.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    l2_normalize: bool = True
+    dropout_rate: float = 0.3
+    width_multiplier: float = 1.0
+
+    @property
+    def input_shape(self) -> Tuple[int, int, int]:
+        return (self.image_size, self.image_size, self.channels)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """YOLOv3-face detector configuration.
+
+    Values mirror the reference defaults (reference:
+    deep_insight_face/detector/run.py:129-136, detector/yolov3.py:27-33,127;
+    detector/yolo_cfg/yolo_anchors.txt).
+    """
+
+    input_size: int = 416
+    max_boxes: int = 20
+    score_threshold: float = 0.4
+    iou_threshold: float = 0.5
+    num_classes: int = 1
+    bbox_margin: int = 8  # crop margin in px (reference: detector/run.py:76-88)
+    anchors: Tuple[Tuple[int, int], ...] = (
+        (10, 13), (16, 30), (33, 23),
+        (30, 61), (62, 45), (59, 119),
+        (116, 90), (156, 198), (373, 326),
+    )
+    anchor_masks: Tuple[Tuple[int, int, int], ...] = ((6, 7, 8), (3, 4, 5), (0, 1, 2))
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline configuration (reference: deep_insight_face/datagen/generator.py)."""
+
+    batch_size: int = 128
+    image_size: int = 112
+    augmentation: str = "non_geometric"  # default|geometric|non_geometric|both|all|none
+    preprocess_mode: str = "tf"  # tf: [-1,1] | caffe: BGR mean-subtract | torch: imagenet norm
+    num_decode_threads: int = 8
+    prefetch_depth: int = 2
+    shuffle_seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training configuration (reference: deep_insight_face/training/{siamese,triplet}.py)."""
+
+    mode: str = "arcface"  # siamese|triplet|batch_hard|batch_all|semi_hard|arcface
+    epochs: int = 20
+    steps_per_epoch: int = 100
+    learning_rate: float = 1e-4
+    weight_decay: float = 5e-4
+    margin: float = 0.4  # triplet margin alpha (reference: networks/triplet.py:16)
+    contrastive_margin: float = 1.0  # (reference: networks/siamese.py:32-39)
+    arcface_margin: float = 0.5
+    arcface_scale: float = 64.0
+    num_classes: int = 1000  # identities for the classification head
+    warmup_steps: int = 100
+    grad_clip_norm: float = 0.0
+    early_stop_patience: int = 5  # (reference: training/triplet.py:99-105)
+    checkpoint_dir: str = field(default_factory=lambda: os.path.join(_weights_dir(), "ckpt"))
+    checkpoint_every: int = 100
+    keep_checkpoints: int = 3
+    log_every: int = 10
+    seed: int = 42
+    remat: bool = False  # jax.checkpoint the backbone to trade FLOPs for HBM
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """LFW-protocol verification eval (reference: deep_insight_face/evaluation/utility.py:10-33)."""
+
+    n_folds: int = 10
+    distance_metric: int = 0  # 0: squared euclidean | 1: arccos-cosine / pi
+    far_target: float = 1e-3
+    threshold_max: float = 4.0
+    roc_threshold_step: float = 0.01
+    val_threshold_step: float = 0.001
+    subtract_mean: bool = False
+    use_flipped_images: bool = False
+    batch_size: int = 128
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for scale-out.
+
+    The reference has no distribution at all (SURVEY §2 #26); this is new
+    TPU-native design: a (data, model) mesh where the batch is sharded over
+    ``data`` (DP, with global batch-hard mining via all-gather) and the
+    ArcFace classifier is sharded over ``model`` (partial-FC style TP).
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1: infer from device count / model_parallel
+    model_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    weights_dir: str = field(default_factory=_weights_dir)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def _update_dataclass(obj: Any, updates: Mapping[str, Any]) -> Any:
+    """Recursively apply a nested mapping of overrides to a dataclass tree."""
+    kw = {}
+    for k, v in updates.items():
+        if not hasattr(obj, k):
+            raise KeyError(f"unknown config key {k!r} for {type(obj).__name__}")
+        cur = getattr(obj, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, Mapping):
+            kw[k] = _update_dataclass(cur, v)
+        else:
+            kw[k] = v
+    return dataclasses.replace(obj, **kw)
+
+
+def config_from_overrides(overrides: Optional[Mapping[str, Any]] = None) -> Config:
+    cfg = default_config()
+    if overrides:
+        cfg = _update_dataclass(cfg, overrides)
+    return cfg
