@@ -35,12 +35,16 @@ def _ref_accuracy(threshold, dist, issame):
     return tpr, fpr, acc
 
 
-def _make_pairs(rng, n_pairs=120, dim=16, sep=1.0):
+def _make_pairs(rng, n_pairs=120, dim=16, sep=1.0, normalize=False):
     """Synthetic embeddings with controllable same/diff separation."""
     issame = rng.random(n_pairs) < 0.5
     anchors = rng.normal(size=(n_pairs, dim))
     noise = rng.normal(size=(n_pairs, dim)) * 0.3
     partners = np.where(issame[:, None], anchors + noise, anchors + noise + sep)
+    if normalize:
+        # unit-norm → squared euclidean ∈ [0, 4], the reference's threshold range
+        anchors = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
+        partners = partners / np.linalg.norm(partners, axis=1, keepdims=True)
     return anchors, partners, issame
 
 
@@ -131,7 +135,7 @@ def test_calculate_val_reasonable(rng):
 
 
 def test_evaluate_end_to_end(rng):
-    e1, e2, issame = _make_pairs(rng, n_pairs=300, sep=3.0)
+    e1, e2, issame = _make_pairs(rng, n_pairs=300, sep=3.0, normalize=True)
     emb = np.empty((600, e1.shape[1]))
     emb[0::2] = e1
     emb[1::2] = e2
@@ -143,7 +147,7 @@ def test_evaluate_end_to_end(rng):
 
 
 def test_eer_auc_against_scipy(rng):
-    e1, e2, issame = _make_pairs(rng, n_pairs=400, sep=1.5)
+    e1, e2, issame = _make_pairs(rng, n_pairs=400, sep=1.5, normalize=True)
     emb = np.empty((800, e1.shape[1]))
     emb[0::2] = e1
     emb[1::2] = e2
@@ -153,7 +157,7 @@ def test_eer_auc_against_scipy(rng):
     from scipy.optimize import brentq
     from sklearn.metrics import auc as sk_auc
 
-    order = np.argsort(report.fpr)
+    order = np.argsort(report.fpr, kind="stable")
     fpr, tpr = report.fpr[order], report.tpr[order]
     # dedupe x for interp1d
     fpr_u, idx = np.unique(fpr, return_index=True)
