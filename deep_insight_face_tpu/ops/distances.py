@@ -1,0 +1,190 @@
+"""Distance / similarity primitives, including the blocked Pallas gallery
+matcher.
+
+Replaces the reference's per-identity numpy loops
+(reference: deep_insight_face/predictions.py:74-79 — a Python loop of
+``np.linalg.norm`` per gallery entry) with:
+
+- vectorized pairwise distance matrices for batch mining, using the
+  stable ``‖a‖² + ‖b‖² − 2ab`` form the reference *intended*
+  (its pairwise_distance drops the cross term due to a statement-split
+  bug, reference: common/losses.py:180-183 — we implement the correct
+  math and document the divergence);
+- a single fused Pallas kernel for gallery matching: blocked ``Q·Gᵀ`` on
+  the MXU with a running max+argmax across gallery tiles, so the full
+  (M, N) score matrix never hits HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deep_insight_face_tpu.ops.pallas_utils import cdiv, interpret_mode, pad_dim
+
+
+# ---------------------------------------------------------------------------
+# dense pairwise ops (XLA fuses these fine; no kernel needed)
+# ---------------------------------------------------------------------------
+
+
+def euclidean_distance(x: jnp.ndarray, y: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Row-wise euclidean distance with an epsilon floor
+    (reference: networks/siamese.py:22-24)."""
+    d = jnp.sum(jnp.square(x - y), axis=-1)
+    return jnp.sqrt(jnp.maximum(d, eps))
+
+
+def pairwise_sq_euclidean(
+    a: jnp.ndarray, b: Optional[jnp.ndarray] = None, zero_diagonal: bool = False
+) -> jnp.ndarray:
+    """(N, M) matrix of squared euclidean distances via ‖a‖²+‖b‖²−2ab."""
+    b = a if b is None else b
+    a2 = jnp.sum(jnp.square(a), axis=-1, keepdims=True)
+    b2 = jnp.sum(jnp.square(b), axis=-1, keepdims=True)
+    ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    d = jnp.maximum(a2 + b2.T - 2.0 * ab, 0.0)
+    if zero_diagonal:
+        d = d * (1.0 - jnp.eye(d.shape[0], d.shape[1], dtype=d.dtype))
+    return d
+
+
+def pairwise_cosine_similarity(
+    a: jnp.ndarray, b: Optional[jnp.ndarray] = None, eps: float = 1e-12
+) -> jnp.ndarray:
+    """(N, M) cosine similarity matrix over l2-normalized rows
+    (reference: common/losses.py:39-40)."""
+    b = a if b is None else b
+    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
+    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
+    return jnp.dot(an, bn.T, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# blocked Pallas gallery matcher
+# ---------------------------------------------------------------------------
+
+_TM = 128  # query tile
+_TN = 128  # gallery tile
+
+
+def _gallery_score_kernel(q_ref, g_ref, out_ref):
+    """One (TM, TN) tile of Q·Gᵀ on the MXU."""
+    out_ref[:] = jax.lax.dot_general(
+        q_ref[:],
+        g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _gallery_argmax_kernel(n_actual: int, q_ref, g_ref, max_ref, idx_ref):
+    """Running max/argmax over gallery tiles for one query tile.
+
+    Grid is (query_tiles, gallery_tiles) with the gallery dimension
+    innermost; the output block for a query tile is revisited across
+    gallery steps, accumulating the best score seen so far.
+    """
+    j = pl.program_id(1)
+    tn = g_ref.shape[0]
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TM, TN)
+    col = j * tn + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < n_actual, scores, -jnp.inf)
+    tile_max = jnp.max(scores, axis=1, keepdims=True)
+    tile_arg = (j * tn + jnp.argmax(scores, axis=1).astype(jnp.int32))[:, None]
+
+    @pl.when(j == 0)
+    def _():
+        max_ref[:] = tile_max
+        idx_ref[:] = tile_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = tile_max > max_ref[:]
+        idx_ref[:] = jnp.where(better, tile_arg, idx_ref[:])
+        max_ref[:] = jnp.maximum(tile_max, max_ref[:])
+
+
+def _normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def gallery_scores(
+    queries: jnp.ndarray, gallery: jnp.ndarray, normalize: bool = True
+) -> jnp.ndarray:
+    """Full (M, N) cosine-score matrix via the blocked Pallas matmul.
+
+    Use when the caller needs all scores (e.g. top-k re-ranking); for
+    best-match-only use :func:`gallery_match` which never materializes
+    the matrix.
+    """
+    if normalize:
+        queries, gallery = _normalize(queries), _normalize(gallery)
+    m, d = queries.shape
+    n = gallery.shape[0]
+    qp = pad_dim(pad_dim(queries.astype(jnp.float32), 0, _TM), 1, 128)
+    gp = pad_dim(pad_dim(gallery.astype(jnp.float32), 0, _TN), 1, 128)
+    mp, dp = qp.shape
+    np_ = gp.shape[0]
+
+    out = pl.pallas_call(
+        _gallery_score_kernel,
+        grid=(mp // _TM, np_ // _TN),
+        in_specs=[
+            pl.BlockSpec((_TM, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TM, _TN), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        interpret=interpret_mode(),
+    )(qp, gp)
+    return out[:m, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def gallery_match(
+    queries: jnp.ndarray, gallery: jnp.ndarray, normalize: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best gallery match per query: (scores (M,), indices (M,)).
+
+    Fused blocked matmul + running argmax; HBM traffic is O(M·D + N·D),
+    independent of the (M, N) score matrix size.
+    """
+    if normalize:
+        queries, gallery = _normalize(queries), _normalize(gallery)
+    m, d = queries.shape
+    n = gallery.shape[0]
+    qp = pad_dim(pad_dim(queries.astype(jnp.float32), 0, _TM), 1, 128)
+    gp = pad_dim(pad_dim(gallery.astype(jnp.float32), 0, _TN), 1, 128)
+    mp, dp = qp.shape
+    np_ = gp.shape[0]
+
+    best, idx = pl.pallas_call(
+        functools.partial(_gallery_argmax_kernel, n),
+        grid=(mp // _TM, np_ // _TN),
+        in_specs=[
+            pl.BlockSpec((_TM, dp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, dp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        ),
+        interpret=interpret_mode(),
+    )(qp, gp)
+    return best[:m, 0], idx[:m, 0]
