@@ -1,0 +1,193 @@
+"""Face alignment: similarity/affine transform solvers + batched
+bilinear warp, fully on-device.
+
+Replaces the reference's cv2.getAffineTransform + cv2.warpAffine
+thumbnail path (reference: deep_insight_face/api.py:132-145) with:
+
+- an exact 3-point affine solve (cv2.getAffineTransform semantics);
+- a least-squares Umeyama similarity solve for 5-point ArcFace-style
+  alignment (rotation+scale+translation only — more robust than a full
+  affine for faces);
+- a jit/vmap-friendly bilinear warp with constant border, matching
+  cv2.warpAffine(INTER_LINEAR) on the interior.
+
+The warp is batched over faces: one fused XLA computation does
+solve → grid → 4-tap gather → lerp for the whole batch. Landmark
+templates live in :mod:`deep_insight_face_tpu.ops.templates`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_insight_face_tpu.ops.templates import (  # noqa: F401 (re-export)
+    INNER_EYES_AND_BOTTOM_LIP,
+    MINMAX_TEMPLATE,
+    OUTER_EYES_AND_NOSE,
+    TEMPLATE,
+)
+
+#: ArcFace canonical 5-point template for 112×112 crops
+#: (left eye, right eye, nose, left mouth, right mouth) — public constants.
+ARCFACE_TEMPLATE_112 = np.array(
+    [
+        [38.2946, 51.6963],
+        [73.5318, 51.5014],
+        [56.0252, 71.7366],
+        [41.5493, 92.3655],
+        [70.7299, 92.2041],
+    ],
+    dtype=np.float32,
+)
+
+
+# ---------------------------------------------------------------------------
+# transform solvers
+# ---------------------------------------------------------------------------
+
+
+def affine_from_3pts(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2×3 affine mapping 3 src points onto 3 dst points
+    (cv2.getAffineTransform semantics; used by the reference's
+    create_thumbnail, api.py:142)."""
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    ones = jnp.ones((3, 1), jnp.float32)
+    a = jnp.concatenate([src, ones], axis=1)  # (3, 3): [x, y, 1]
+    # solve a @ Mᵀ = dst  → M (2, 3)
+    mt = jnp.linalg.solve(a, dst)  # (3, 2)
+    return mt.T
+
+
+def umeyama_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares similarity transform (Umeyama 1991, no reflection
+    correction skipped — full algorithm) mapping src → dst. Returns 2×3."""
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    n = src.shape[0]
+    mu_s = jnp.mean(src, axis=0)
+    mu_d = jnp.mean(dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / n  # (2, 2)
+    u, s, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(u) * jnp.linalg.det(vt)
+    d = jnp.array([1.0, 1.0]) * jnp.where(det < 0, jnp.array([1.0, -1.0]), 1.0)
+    r = (u * d[None, :]) @ vt
+    var_s = jnp.mean(jnp.sum(sc * sc, axis=1))
+    scale = jnp.sum(s * d) / jnp.maximum(var_s, 1e-12)
+    t = mu_d - scale * (r @ mu_s)
+    return jnp.concatenate([scale * r, t[:, None]], axis=1)
+
+
+def invert_affine(m: jnp.ndarray) -> jnp.ndarray:
+    """Invert a 2×3 affine."""
+    a = m[:, :2]
+    t = m[:, 2]
+    ai = jnp.linalg.inv(a)
+    return jnp.concatenate([ai, (-ai @ t)[:, None]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# bilinear warp
+# ---------------------------------------------------------------------------
+
+
+def _warp_one(
+    img: jnp.ndarray, m: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Bilinear warp of one HWC image; ``m`` maps dst (x, y) → src (x, y).
+
+    Out-of-bounds samples are constant 0 (cv2 BORDER_CONSTANT). A 4-tap
+    flat gather + lerp; vmapped over the batch by :func:`warp_affine`.
+    """
+    h, w, c = img.shape
+    oh, ow = out_hw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(oh, dtype=jnp.float32),
+        jnp.arange(ow, dtype=jnp.float32),
+        indexing="ij",
+    )
+    sx = m[0, 0] * xs + m[0, 1] * ys + m[0, 2]
+    sy = m[1, 0] * xs + m[1, 1] * ys + m[1, 2]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = img.reshape(h * w, c)
+        vals = jnp.take(flat, yc * w + xc, axis=0)
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def warp_affine(
+    images: jnp.ndarray, matrices: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Batched bilinear warp.
+
+    ``images``: (N, H, W, C) float; ``matrices``: (N, 2, 3) FORWARD
+    transforms mapping src → dst (cv2.warpAffine convention); output is
+    (N, oh, ow, C). The inverse (dst→src) map is computed internally.
+    """
+    inv = jax.vmap(invert_affine)(matrices)
+    return jax.vmap(lambda im, m: _warp_one(im, m, out_hw))(
+        images.astype(jnp.float32), inv
+    )
+
+
+# ---------------------------------------------------------------------------
+# landmark-template alignment (the public "align" op)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "mode"))
+def align_faces(
+    images: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    out_size: int = 112,
+    mode: str = "similarity",
+    template: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Warp faces so that ``landmarks`` land on the canonical template.
+
+    - ``mode="similarity"`` with (N, 5, 2) landmarks: ArcFace-style
+      Umeyama alignment to :data:`ARCFACE_TEMPLATE_112` (scaled to
+      ``out_size``).
+    - ``mode="affine3"`` with (N, 3, 2) landmarks: exact 3-point affine to
+      the MINMAX_TEMPLATE rows the reference uses
+      (reference: api.py:132-145 create_thumbnail).
+    """
+    n = images.shape[0]
+    if template is None:
+        if mode == "similarity":
+            template = jnp.asarray(ARCFACE_TEMPLATE_112) * (out_size / 112.0)
+        else:
+            tpl = jnp.asarray(MINMAX_TEMPLATE)[jnp.asarray(INNER_EYES_AND_BOTTOM_LIP)]
+            template = tpl * out_size
+    else:
+        template = jnp.asarray(template)
+
+    solver = umeyama_similarity if mode == "similarity" else affine_from_3pts
+    mats = jax.vmap(lambda lm: solver(lm, template))(landmarks.astype(jnp.float32))
+    return warp_affine(images, mats, (out_size, out_size))

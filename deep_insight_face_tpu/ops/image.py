@@ -1,0 +1,206 @@
+"""On-device image ops: letterbox, preprocessing modes, augmentation.
+
+Replaces the reference's host-side PIL/cv2/imgaug pipeline
+(reference: deep_insight_face/detector/yolov3.py:108-119 letterbox,
+datagen/generator.py:178 preprocess_input, common/image_aug.py imgaug
+stacks) with pure-jnp functions that jit and fuse on device, keyed by
+explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# resize / letterbox
+# ---------------------------------------------------------------------------
+
+
+def resize_bilinear(images: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize (NHWC or HWC) with half-pixel centers
+    (cv2.resize INTER_LINEAR semantics, the reference's resizer)."""
+    batched = images.ndim == 4
+    if not batched:
+        images = images[None]
+    n, h, w, c = images.shape
+    out = jax.image.resize(images, (n, size[0], size[1], c), method="bilinear")
+    return out if batched else out[0]
+
+
+def letterbox(
+    images: jnp.ndarray, target: int, pad_value: float = 128.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aspect-preserving resize + center pad to (target, target)
+    (reference: detector/yolov3.py:108-119).
+
+    Returns (padded images, scale-and-offset (3,) array [scale, pad_y, pad_x]
+    for mapping detector boxes back to source coordinates).
+    Shapes are static: scale is a Python float from static H/W.
+    """
+    batched = images.ndim == 4
+    if not batched:
+        images = images[None]
+    n, h, w, c = images.shape
+    scale = min(target / h, target / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = jax.image.resize(images, (n, nh, nw, c), method="bilinear")
+    pad_top = (target - nh) // 2
+    pad_left = (target - nw) // 2
+    out = jnp.full((n, target, target, c), pad_value, resized.dtype)
+    out = jax.lax.dynamic_update_slice(out, resized, (0, pad_top, pad_left, 0))
+    meta = jnp.array([scale, pad_top, pad_left], jnp.float32)
+    return (out if batched else out[0]), meta
+
+
+# ---------------------------------------------------------------------------
+# preprocessing modes (keras.applications preprocess_input equivalents)
+# ---------------------------------------------------------------------------
+
+_IMAGENET_MEAN_RGB = (123.68, 116.779, 103.939)
+_TORCH_MEAN = (0.485, 0.456, 0.406)
+_TORCH_STD = (0.229, 0.224, 0.225)
+
+
+def preprocess(images: jnp.ndarray, mode: str = "tf") -> jnp.ndarray:
+    """uint8/float [0,255] RGB → network input.
+
+    Modes mirror keras.applications preprocess_input, which the reference
+    mixes freely (reference: datagen/generator.py:8 resnet_v2 'tf' mode vs
+    predictions.py:10 vgg16 'caffe' mode):
+    - "tf": x/127.5 − 1
+    - "caffe": RGB→BGR, subtract ImageNet BGR means
+    - "torch": x/255, normalize by ImageNet mean/std
+    - "rescale": x/255 (reference: detector/run.py:107)
+    """
+    x = images.astype(jnp.float32)
+    if mode == "tf":
+        return x / 127.5 - 1.0
+    if mode == "caffe":
+        mean = jnp.array(_IMAGENET_MEAN_RGB[::-1], jnp.float32)
+        return x[..., ::-1] - mean
+    if mode == "torch":
+        x = x / 255.0
+        return (x - jnp.array(_TORCH_MEAN)) / jnp.array(_TORCH_STD)
+    if mode == "rescale":
+        return x / 255.0
+    raise ValueError(f"unknown preprocess mode {mode!r}")
+
+
+def fixed_standardization(images: jnp.ndarray) -> jnp.ndarray:
+    """(x − 127.5) / 128 — facenet eval-style standardization
+    (the reference eval CLI's fixed-standardization flag)."""
+    return (images.astype(jnp.float32) - 127.5) / 128.0
+
+
+def per_image_standardization(images: jnp.ndarray) -> jnp.ndarray:
+    """tf.image.per_image_standardization semantics."""
+    axes = tuple(range(images.ndim - 3, images.ndim))
+    x = images.astype(jnp.float32)
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    std = jnp.std(x, axis=axes, keepdims=True)
+    n = functools.reduce(lambda a, b: a * b, [images.shape[i] for i in axes])
+    adj = jnp.maximum(std, 1.0 / jnp.sqrt(float(n)))
+    return (x - mean) / adj
+
+
+# ---------------------------------------------------------------------------
+# on-device augmentation (jit-safe, PRNG-keyed)
+# ---------------------------------------------------------------------------
+
+
+def random_flip(key: jax.Array, images: jnp.ndarray, prob: float = 0.5) -> jnp.ndarray:
+    """Per-image horizontal flip."""
+    flip = jax.random.bernoulli(key, prob, (images.shape[0],))
+    flipped = images[:, :, ::-1, :]
+    return jnp.where(flip[:, None, None, None], flipped, images)
+
+
+def random_brightness(
+    key: jax.Array, images: jnp.ndarray, max_delta: float = 32.0
+) -> jnp.ndarray:
+    delta = jax.random.uniform(
+        key, (images.shape[0], 1, 1, 1), minval=-max_delta, maxval=max_delta
+    )
+    return jnp.clip(images.astype(jnp.float32) + delta, 0.0, 255.0)
+
+
+def random_contrast(
+    key: jax.Array, images: jnp.ndarray, lower: float = 0.8, upper: float = 1.2
+) -> jnp.ndarray:
+    factor = jax.random.uniform(
+        key, (images.shape[0], 1, 1, 1), minval=lower, maxval=upper
+    )
+    x = images.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    return jnp.clip((x - mean) * factor + mean, 0.0, 255.0)
+
+
+def random_saturation(
+    key: jax.Array, images: jnp.ndarray, lower: float = 0.7, upper: float = 1.3
+) -> jnp.ndarray:
+    factor = jax.random.uniform(
+        key, (images.shape[0], 1, 1, 1), minval=lower, maxval=upper
+    )
+    x = images.astype(jnp.float32)
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    return jnp.clip(gray + (x - gray) * factor, 0.0, 255.0)
+
+
+def random_crop_resize(
+    key: jax.Array,
+    images: jnp.ndarray,
+    min_scale: float = 0.8,
+) -> jnp.ndarray:
+    """Random scale crop (same output size via resize-back); static shapes."""
+    n, h, w, c = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = jax.random.uniform(k1, (), minval=min_scale, maxval=1.0)
+    ch = jnp.floor(h * scale).astype(jnp.int32)
+    cw = jnp.floor(w * scale).astype(jnp.int32)
+    oy = jax.random.randint(k2, (), 0, jnp.maximum(h - ch, 1))
+    ox = jax.random.randint(k3, (), 0, jnp.maximum(w - cw, 1))
+    # mask-based crop keeps shapes static: shift then resize the window
+    shifted = jnp.roll(images, shift=(-oy, -ox), axis=(1, 2))
+    # build sampling grid over [0, ch) × [0, cw) scaled back to (h, w)
+    ys = (jnp.arange(h) * (ch / h)).astype(jnp.float32)
+    xs = (jnp.arange(w) * (cw / w)).astype(jnp.float32)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
+    fy = (ys - y0)[None, :, None, None]
+    fx = (xs - x0)[None, None, :, None]
+    g = shifted.astype(jnp.float32)
+    top = g[:, y0][:, :, x0] * (1 - fx) + g[:, y0][:, :, x0 + 1] * fx
+    bot = g[:, y0 + 1][:, :, x0] * (1 - fx) + g[:, y0 + 1][:, :, x0 + 1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+AUGMENTATION_OPTIONS = ("default", "geometric", "non_geometric", "both", "all", "none")
+
+
+def augment_batch(
+    key: jax.Array,
+    images: jnp.ndarray,
+    option: str = "non_geometric",
+) -> jnp.ndarray:
+    """Named augmentation stacks mirroring the reference's imgaug pipelines
+    (reference: common/image_aug.py:21-30 AUGMENTATION_OPTIONS), composed
+    from jit-safe device ops. ``images`` are float [0, 255] NHWC."""
+    if option not in AUGMENTATION_OPTIONS:
+        raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
+    if option == "none":
+        return images
+    k = jax.random.split(key, 5)
+    x = images.astype(jnp.float32)
+    if option in ("geometric", "both", "all", "default"):
+        x = random_flip(k[0], x)
+        x = random_crop_resize(k[1], x)
+    if option in ("non_geometric", "both", "all", "default"):
+        x = random_brightness(k[2], x)
+        x = random_contrast(k[3], x)
+        x = random_saturation(k[4], x)
+    return x

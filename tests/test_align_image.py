@@ -1,0 +1,152 @@
+"""Alignment + image op tests, with cv2 as the fidelity oracle
+(the reference's warp path: api.py:132-145 cv2.getAffineTransform +
+cv2.warpAffine)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_insight_face_tpu.ops import align as A
+from deep_insight_face_tpu.ops import image as I
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _rand_img(rng, h=64, w=64, c=3):
+    return rng.uniform(0, 255, (h, w, c)).astype(np.float32)
+
+
+def test_affine_from_3pts_matches_cv2(rng):
+    src = rng.uniform(5, 60, (3, 2)).astype(np.float32)
+    dst = rng.uniform(5, 60, (3, 2)).astype(np.float32)
+    ours = np.asarray(A.affine_from_3pts(jnp.array(src), jnp.array(dst)))
+    theirs = cv2.getAffineTransform(src, dst)
+    np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+
+def test_umeyama_recovers_similarity(rng):
+    # generate a known similarity transform and recover it
+    theta, scale, tx, ty = 0.3, 1.4, 5.0, -3.0
+    r = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    src = rng.uniform(0, 50, (5, 2)).astype(np.float32)
+    dst = (scale * src @ r.T) + np.array([tx, ty])
+    m = np.asarray(A.umeyama_similarity(jnp.array(src), jnp.array(dst)))
+    want = np.concatenate([scale * r, [[tx], [ty]]], axis=1)
+    np.testing.assert_allclose(m, want, atol=1e-3)
+
+
+def test_umeyama_matches_skimage(rng):
+    skimage = pytest.importorskip("skimage.transform")
+    src = rng.uniform(0, 100, (5, 2)).astype(np.float32)
+    dst = src @ np.array([[1.1, 0.2], [-0.2, 1.1]]) + rng.normal(scale=2.0, size=(5, 2))
+    m = np.asarray(A.umeyama_similarity(jnp.array(src), jnp.array(dst)))
+    t = skimage.SimilarityTransform()
+    t.estimate(src, dst)
+    np.testing.assert_allclose(m, t.params[:2], atol=1e-3)
+
+
+def test_invert_affine(rng):
+    m = np.array([[1.2, 0.3, 5.0], [-0.1, 0.9, -2.0]], np.float32)
+    mi = np.asarray(A.invert_affine(jnp.array(m)))
+    # compose: should be identity
+    m3 = np.vstack([m, [0, 0, 1]])
+    mi3 = np.vstack([mi, [0, 0, 1]])
+    np.testing.assert_allclose(m3 @ mi3, np.eye(3), atol=1e-5)
+
+
+@pytest.mark.parametrize("angle,scale", [(0.0, 1.0), (15.0, 1.2), (-30.0, 0.8)])
+def test_warp_affine_matches_cv2(rng, angle, scale):
+    img = _rand_img(rng)
+    m = cv2.getRotationMatrix2D((32, 32), angle, scale).astype(np.float32)
+    ours = np.asarray(A.warp_affine(jnp.array(img[None]), jnp.array(m[None]), (64, 64)))[0]
+    theirs = cv2.warpAffine(img, m, (64, 64), flags=cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    # interior must match closely; allow edge-pixel differences from
+    # cv2's fixed-point arithmetic
+    diff = np.abs(ours - theirs)
+    assert np.median(diff) < 0.5
+    assert np.mean(diff < 2.0) > 0.97
+
+
+def test_align_faces_similarity_places_landmarks(rng):
+    # put 5 synthetic "landmarks" in a source image; after alignment the
+    # template positions should hold the same pixel values
+    img = np.zeros((200, 200, 3), np.float32)
+    # source landmarks: template scaled+shifted
+    m_true = np.array([[1.5, 0.0, 20.0], [0.0, 1.5, 10.0]], np.float32)
+    tpl = A.ARCFACE_TEMPLATE_112
+    src_lm = tpl @ m_true[:, :2].T + m_true[:, 2]
+    for i, (x, y) in enumerate(src_lm):
+        img[int(round(y)), int(round(x))] = (i + 1) * 10.0
+    out = np.asarray(A.align_faces(jnp.array(img[None]), jnp.array(src_lm[None])))[0]
+    assert out.shape == (112, 112, 3)
+    # each template point should have signal nearby
+    for i, (x, y) in enumerate(tpl):
+        patch = out[int(y) - 2 : int(y) + 3, int(x) - 2 : int(x) + 3]
+        assert patch.max() > 0.5, f"landmark {i} missing after alignment"
+
+
+def test_letterbox_preserves_aspect(rng):
+    img = _rand_img(rng, h=40, w=80)
+    out, meta = I.letterbox(jnp.array(img), 64, pad_value=128.0)
+    out = np.asarray(out)
+    assert out.shape == (64, 64, 3)
+    scale, pad_t, pad_l = np.asarray(meta)
+    assert scale == pytest.approx(64 / 80)
+    # top/bottom padded rows are constant 128
+    assert np.all(out[: int(pad_t) - 1] == 128.0)
+
+
+def test_preprocess_modes(rng):
+    x = rng.uniform(0, 255, (2, 4, 4, 3)).astype(np.float32)
+    tf_ = np.asarray(I.preprocess(jnp.array(x), "tf"))
+    np.testing.assert_allclose(tf_, x / 127.5 - 1, atol=1e-5)
+    caffe = np.asarray(I.preprocess(jnp.array(x), "caffe"))
+    np.testing.assert_allclose(
+        caffe, x[..., ::-1] - np.array([103.939, 116.779, 123.68]), atol=1e-4
+    )
+    torch_ = np.asarray(I.preprocess(jnp.array(x), "torch"))
+    np.testing.assert_allclose(
+        torch_, (x / 255 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
+        atol=1e-5,
+    )
+    with pytest.raises(ValueError):
+        I.preprocess(jnp.array(x), "bogus")
+
+
+def test_per_image_standardization(rng):
+    x = rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32)
+    out = np.asarray(I.per_image_standardization(jnp.array(x)))
+    np.testing.assert_allclose(out.mean(axis=(1, 2, 3)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(out.std(axis=(1, 2, 3)), 1.0, atol=1e-2)
+
+
+def test_random_flip_deterministic_key(rng):
+    x = jnp.array(rng.uniform(0, 255, (4, 8, 8, 3)).astype(np.float32))
+    k = jax.random.key(0)
+    a = np.asarray(I.random_flip(k, x))
+    b = np.asarray(I.random_flip(k, x))
+    np.testing.assert_array_equal(a, b)
+    # each image is either original or flipped
+    for i in range(4):
+        orig = np.asarray(x[i])
+        assert np.allclose(a[i], orig) or np.allclose(a[i], orig[:, ::-1])
+
+
+def test_augment_batch_options(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    for opt in I.AUGMENTATION_OPTIONS:
+        out = I.augment_batch(jax.random.key(1), x, opt)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+    with pytest.raises(ValueError):
+        I.augment_batch(jax.random.key(1), x, "nope")
+
+
+def test_augment_jit_compatible(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    f = jax.jit(lambda k, im: I.augment_batch(k, im, "both"))
+    out = f(jax.random.key(3), x)
+    assert out.shape == x.shape
