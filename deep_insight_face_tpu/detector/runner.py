@@ -1,0 +1,167 @@
+"""FaceDetector: the user-facing detector runner.
+
+Working equivalent of the reference's ``YoloDetection``
+(reference: deep_insight_face/detector/run.py:120-173, which is broken —
+undefined ``nrof_faces``/``img_size``, wrong kwargs, 1-of-5-args call,
+SURVEY §2 #7). Pipeline:
+
+uint8 image → grayscale promote → device letterbox → YoloV3 forward →
+fused decode → Pallas NMS → letterbox undo → (host) margin crop.
+
+The jitted core is compiled once per input geometry; batches of
+identically-sized images run through ``detect_batch`` for throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_insight_face_tpu.config import DetectorConfig
+from deep_insight_face_tpu.detector.decode import (
+    correct_letterbox_boxes,
+    decode_detections,
+)
+from deep_insight_face_tpu.models.yolov3 import YoloV3
+from deep_insight_face_tpu.ops.image import letterbox
+from deep_insight_face_tpu.ops.nms import non_max_suppression
+
+
+class Detections(NamedTuple):
+    boxes: np.ndarray  # (max_boxes, 4) x1y1x2y2 source pixels
+    scores: np.ndarray  # (max_boxes,)
+    valid: np.ndarray  # (max_boxes,) bool
+
+
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """Promote grayscale to RGB (reference: detector/run.py:33-39,159-161)."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.ndim == 3 and img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def select_face(
+    boxes: np.ndarray,
+    image_hw: Tuple[int, int],
+    largest_only: bool = False,
+) -> int:
+    """Pick one face among candidates.
+
+    ``largest_only``: max area; otherwise facenet's center-weighted score
+    area − 2·(center offset)² (reference: detector/run.py:42-61, with the
+    undefined-variable bugs fixed).
+    """
+    if boxes.shape[0] == 0:
+        raise ValueError("no boxes to select from")
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    if largest_only:
+        return int(np.argmax(areas))
+    h, w = image_hw
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
+    return int(np.argmax(areas - 2.0 * (cx**2 + cy**2)))
+
+
+def crop_with_margin(
+    img: np.ndarray, box: np.ndarray, margin: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Margin-expanded integer crop (reference: detector/run.py:64-88)."""
+    h, w = img.shape[:2]
+    bb = np.zeros(4, np.int32)
+    bb[0] = max(int(box[0] - margin / 2), 0)
+    bb[1] = max(int(box[1] - margin / 2), 0)
+    bb[2] = min(int(box[2] + margin / 2), w)
+    bb[3] = min(int(box[3] + margin / 2), h)
+    return img[bb[1] : bb[3], bb[0] : bb[2]], bb
+
+
+class FaceDetector:
+    """Jitted YOLOv3-face detection."""
+
+    def __init__(
+        self,
+        variables,
+        config: Optional[DetectorConfig] = None,
+        model: Optional[YoloV3] = None,
+    ):
+        self.cfg = config or DetectorConfig()
+        self.model = model or YoloV3(num_classes=self.cfg.num_classes)
+        self.variables = variables
+        self._anchors = jnp.asarray(np.array(self.cfg.anchors, np.float32))
+        self._jitted = {}
+
+    # -- jitted core --------------------------------------------------------
+
+    def _core(self, orig_hw: Tuple[int, int]):
+        if orig_hw in self._jitted:
+            return self._jitted[orig_hw]
+        cfg = self.cfg
+
+        @jax.jit
+        def run(variables, images):  # images (N, H, W, 3) uint8/float
+            boxed, meta = letterbox(images.astype(jnp.float32), cfg.input_size)
+            heads = self.model.apply(variables, boxed / 255.0, train=False)
+            boxes, scores = decode_detections(
+                heads, self._anchors, cfg.anchor_masks, cfg.num_classes,
+                cfg.input_size,
+            )
+            face_scores = scores[..., 0]  # single class (face)
+
+            def one(b, s):
+                ob, os_, valid = non_max_suppression(
+                    b, s,
+                    max_boxes=cfg.max_boxes,
+                    iou_threshold=cfg.iou_threshold,
+                    score_threshold=cfg.score_threshold,
+                )
+                ob = correct_letterbox_boxes(ob, meta, cfg.input_size, orig_hw)
+                return ob, os_, valid
+
+            return jax.vmap(one)(boxes, face_scores)
+
+        self._jitted[orig_hw] = run
+        return run
+
+    # -- public API ---------------------------------------------------------
+
+    def detect_batch(self, images: np.ndarray) -> List[Detections]:
+        """Detect faces on a (N, H, W, 3) uint8 batch of equal-size images."""
+        images = np.asarray(images)
+        run = self._core(images.shape[1:3])
+        boxes, scores, valid = run(self.variables, jnp.asarray(images))
+        return [
+            Detections(np.asarray(b), np.asarray(s), np.asarray(v))
+            for b, s, v in zip(boxes, scores, valid)
+        ]
+
+    def __call__(
+        self,
+        image: np.ndarray,
+        detect_multiple_faces: bool = False,
+        margin: Optional[int] = None,
+    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Detect → select → margin-crop, mirroring the reference's
+        ``YoloDetection.__call__`` surface (reference: run.py:146-173).
+
+        Returns (cropped face images, integer boxes)."""
+        margin = self.cfg.bbox_margin if margin is None else margin
+        image = to_rgb(np.asarray(image))
+        det = self.detect_batch(image[None])[0]
+        boxes = det.boxes[det.valid]
+        if boxes.shape[0] == 0:
+            return [], []
+        if not detect_multiple_faces and boxes.shape[0] > 1:
+            boxes = boxes[select_face(boxes, image.shape[:2])][None]
+        crops, bbs = [], []
+        for b in boxes:
+            crop, bb = crop_with_margin(image, b, margin)
+            if crop.size:
+                crops.append(crop)
+                bbs.append(bb)
+        return crops, bbs

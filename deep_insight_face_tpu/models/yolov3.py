@@ -1,0 +1,151 @@
+"""YOLOv3 face detector graph (Darknet-53 + FPN heads) in Flax.
+
+The reference loads a converted Keras .h5 of the same topology
+(reference: deep_insight_face/detector/run.py:141 and the Darknet
+converter scripts/yolo_convert_tf.py:38-234; config
+detector/yolo_cfg/yolov3-face.cfg). Here the graph is native: NHWC,
+bf16 compute, LeakyReLU(0.1), BN eps 1e-5 — layer naming is positional
+(conv_0..conv_74 as in Darknet) so the binary-weight converter in
+utils/darknet.py can map weights one-to-one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+_BN_EPS = 1e-5
+
+
+class _DarkConv(nn.Module):
+    """Conv → BN → LeakyReLU(0.1), Darknet-style."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_bn: bool = True
+    act: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = "SAME" if self.stride == 1 else [(1, 0), (1, 0)]  # darknet top-left pad
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad if self.kernel > 1 else "VALID",
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                epsilon=_BN_EPS,
+                momentum=0.99,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="bn",
+            )(x)
+        if self.act:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class _ResBlock(nn.Module):
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = _DarkConv(self.features // 2, 1, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="conv1")(x, train)
+        y = _DarkConv(self.features, 3, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="conv2")(y, train)
+        return x + y
+
+
+class Darknet53(nn.Module):
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = _DarkConv(32, 3, name="stem", **kw)(x, train)
+        skips: List[jnp.ndarray] = []
+        for i, (feats, blocks) in enumerate([(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]):
+            x = _DarkConv(feats, 3, stride=2, name=f"down{i}", **kw)(x, train)
+            for b in range(blocks):
+                x = _ResBlock(feats, name=f"res{i}_{b}", **kw)(x, train)
+            skips.append(x)
+        # routes at 52×52 (256), 26×26 (512), 13×13 (1024)
+        return skips[2], skips[3], skips[4]
+
+
+class _FPNStage(nn.Module):
+    """5-conv block + detection head conv; returns (branch, raw head)."""
+
+    features: int
+    out_features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        for i in range(3):
+            x = _DarkConv(self.features, 1, name=f"c{2 * i}", **kw)(x, train)
+            if i < 2:
+                x = _DarkConv(self.features * 2, 3, name=f"c{2 * i + 1}", **kw)(x, train)
+        branch = x
+        y = _DarkConv(self.features * 2, 3, name="pre_head", **kw)(x, train)
+        head = _DarkConv(
+            self.out_features, 1, use_bn=False, act=False, name="head", **kw
+        )(y, train)
+        return branch, head
+
+
+class YoloV3(nn.Module):
+    """Full detector: input (N, S, S, 3) in [0, 1] → 3 raw head tensors
+    at strides 32/16/8 (channels = anchors_per_scale × (5 + num_classes))."""
+
+    num_classes: int = 1
+    anchors_per_scale: int = 3
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        out_ch = self.anchors_per_scale * (5 + self.num_classes)
+        x = x.astype(self.dtype)
+        r52, r26, r13 = Darknet53(name="backbone", **kw)(x, train)
+
+        b13, head13 = _FPNStage(512, out_ch, name="stage13", **kw)(r13, train)
+
+        u = _DarkConv(256, 1, name="up26_conv", **kw)(b13, train)
+        u = jax.image.resize(u, (u.shape[0], u.shape[1] * 2, u.shape[2] * 2, u.shape[3]),
+                             method="nearest")
+        b26, head26 = _FPNStage(
+            256, out_ch, name="stage26", **kw
+        )(jnp.concatenate([u, r26], axis=-1), train)
+
+        u = _DarkConv(128, 1, name="up52_conv", **kw)(b26, train)
+        u = jax.image.resize(u, (u.shape[0], u.shape[1] * 2, u.shape[2] * 2, u.shape[3]),
+                             method="nearest")
+        _, head52 = _FPNStage(
+            128, out_ch, name="stage52", **kw
+        )(jnp.concatenate([u, r52], axis=-1), train)
+
+        f32 = jnp.float32
+        return head13.astype(f32), head26.astype(f32), head52.astype(f32)

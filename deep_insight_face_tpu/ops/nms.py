@@ -1,0 +1,145 @@
+"""Non-maximum suppression: Pallas TPU kernel + jnp reference.
+
+Semantics match ``tf.image.non_max_suppression`` as used by the
+reference decoder (reference: deep_insight_face/detector/yolov3.py:155-166):
+greedy selection in score order, suppressing candidates whose IoU with
+any already-selected box exceeds ``iou_threshold``, emitting at most
+``max_boxes`` (reference caps at 20, yolov3.py:127).
+
+Everything is static-shape: candidates are first reduced to the top-K by
+score (lax.top_k), then the kernel runs a fixed ``max_boxes``-step greedy
+loop over a K×K IoU matrix held entirely in VMEM — no HBM traffic inside
+the loop, no dynamic shapes anywhere.
+
+Boxes are (x1, y1, x2, y2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deep_insight_face_tpu.ops.pallas_utils import interpret_mode, round_up
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) pairwise IoU of (x1, y1, x2, y2) boxes."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _greedy_select(
+    scores: jnp.ndarray, iou: jnp.ndarray, max_boxes: int, iou_threshold: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-iteration greedy NMS given scores (K,) and IoU (K, K).
+
+    Returns (indices (max_boxes,), valid mask (max_boxes,)). Used both by
+    the jnp reference path and inside the Pallas kernel (it is pure jnp).
+    """
+    k = scores.shape[0]
+    neg = jnp.float32(-jnp.inf)
+
+    def body(carry, _):
+        active_scores = carry
+        best = jnp.argmax(active_scores)
+        best_score = active_scores[best]
+        valid = best_score > neg
+        # suppress best itself + all high-IoU neighbours
+        suppress = (iou[best] > iou_threshold) | (
+            jnp.arange(k) == best
+        )
+        new_scores = jnp.where(valid & suppress, neg, active_scores)
+        return new_scores, (jnp.where(valid, best, 0).astype(jnp.int32), valid)
+
+    _, (idx, valid) = jax.lax.scan(body, scores, None, length=max_boxes)
+    return idx, valid
+
+
+def _nms_kernel(max_boxes: int, iou_threshold: float,
+                boxes_ref, scores_ref, idx_ref, valid_ref):
+    boxes = boxes_ref[:]  # (K, 4) — last dim padded to 128 lanes by Mosaic
+    scores = scores_ref[0, :]  # (K,)
+    iou = iou_matrix(boxes, boxes)
+    idx, valid = _greedy_select(scores, iou, max_boxes, iou_threshold)
+    idx_ref[0, :] = idx
+    valid_ref[0, :] = valid.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_boxes", "iou_threshold", "score_threshold", "top_k")
+)
+def non_max_suppression(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_boxes: int = 20,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.0,
+    top_k: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS over (N, 4) boxes + (N,) scores.
+
+    Returns (boxes (max_boxes, 4), scores (max_boxes,), valid (max_boxes,)
+    bool). Invalid slots are zeroed. Candidates below ``score_threshold``
+    never survive.
+    """
+    n = scores.shape[0]
+    k = min(top_k, n)
+    scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = boxes[top_idx]
+
+    kp = max(round_up(k, 8), 8)
+    pad = kp - k
+    boxes_p = jnp.pad(top_boxes.astype(jnp.float32), ((0, pad), (0, 0)))
+    scores_p = jnp.pad(top_scores.astype(jnp.float32), (0, pad),
+                       constant_values=-jnp.inf)
+
+    idx, valid = pl.pallas_call(
+        functools.partial(_nms_kernel, max_boxes, iou_threshold),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, max_boxes), jnp.int32),
+            jax.ShapeDtypeStruct((1, max_boxes), jnp.int32),
+        ),
+        interpret=interpret_mode(),
+    )(boxes_p, scores_p[None, :])
+
+    idx = idx[0]
+    valid = valid[0].astype(bool)
+    out_boxes = jnp.where(valid[:, None], top_boxes[jnp.minimum(idx, k - 1)], 0.0)
+    out_scores = jnp.where(valid, top_scores[jnp.minimum(idx, k - 1)], 0.0)
+    return out_boxes, out_scores, valid
+
+
+def non_max_suppression_reference(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_boxes: int = 20,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pure-jnp greedy NMS over ALL candidates (no top-k) — the test oracle."""
+    scores = jnp.where(scores >= score_threshold, scores.astype(jnp.float32), -jnp.inf)
+    iou = iou_matrix(boxes.astype(jnp.float32), boxes.astype(jnp.float32))
+    idx, valid = _greedy_select(scores, iou, max_boxes, iou_threshold)
+    out_boxes = jnp.where(valid[:, None], boxes[idx], 0.0)
+    out_scores = jnp.where(valid, scores[idx], 0.0)
+    return out_boxes, out_scores, valid

@@ -1,0 +1,191 @@
+"""NMS kernel, YOLO decode, and detector runner tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_insight_face_tpu.config import DetectorConfig
+from deep_insight_face_tpu.detector import decode as D
+from deep_insight_face_tpu.detector.runner import (
+    FaceDetector,
+    crop_with_margin,
+    select_face,
+    to_rgb,
+)
+from deep_insight_face_tpu.models.yolov3 import YoloV3
+from deep_insight_face_tpu.ops import nms as N
+
+
+def _py_nms(boxes, scores, max_boxes, iou_thr, score_thr=0.0):
+    """Literal greedy NMS oracle (tf.image.non_max_suppression semantics)."""
+    order = np.argsort(-scores, kind="stable")
+    selected = []
+    for i in order:
+        if scores[i] < score_thr or scores[i] == -np.inf:
+            continue
+        keep = True
+        for j in selected:
+            # IoU
+            xx1 = max(boxes[i, 0], boxes[j, 0]); yy1 = max(boxes[i, 1], boxes[j, 1])
+            xx2 = min(boxes[i, 2], boxes[j, 2]); yy2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(xx2 - xx1, 0) * max(yy2 - yy1, 0)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-9) > iou_thr:
+                keep = False
+                break
+        if keep:
+            selected.append(i)
+        if len(selected) == max_boxes:
+            break
+    return selected
+
+
+def _random_boxes(rng, n=60, size=100):
+    xy = rng.uniform(0, size * 0.8, (n, 2))
+    wh = rng.uniform(4, size * 0.4, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    return boxes, scores
+
+
+def test_iou_matrix(rng):
+    a = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], np.float32)
+    got = np.asarray(N.iou_matrix(jnp.array(a), jnp.array(a)))
+    np.testing.assert_allclose(np.diag(got), 1.0, atol=1e-6)
+    # overlap 5x5=25, union 200-25=175
+    np.testing.assert_allclose(got[0, 1], 25 / 175, atol=1e-6)
+
+
+@pytest.mark.parametrize("iou_thr", [0.3, 0.5, 0.7])
+def test_nms_matches_oracle(rng, iou_thr):
+    boxes, scores = _random_boxes(rng)
+    ob, os_, valid = N.non_max_suppression(
+        jnp.array(boxes), jnp.array(scores), max_boxes=20, iou_threshold=iou_thr
+    )
+    want_idx = _py_nms(boxes, scores, 20, iou_thr)
+    got_boxes = np.asarray(ob)[np.asarray(valid)]
+    np.testing.assert_allclose(got_boxes, boxes[want_idx], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(os_)[np.asarray(valid)], scores[want_idx], atol=1e-6
+    )
+
+
+def test_nms_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    boxes, scores = _random_boxes(rng, n=80)
+    keep = torchvision.ops.nms(
+        torch.tensor(boxes), torch.tensor(scores), 0.5
+    ).numpy()[:20]
+    ob, _, valid = N.non_max_suppression(
+        jnp.array(boxes), jnp.array(scores), max_boxes=20, iou_threshold=0.5
+    )
+    np.testing.assert_allclose(np.asarray(ob)[np.asarray(valid)], boxes[keep], atol=1e-5)
+
+
+def test_nms_score_threshold(rng):
+    boxes, scores = _random_boxes(rng, n=30)
+    scores[:] = 0.05
+    scores[3] = 0.9
+    _, os_, valid = N.non_max_suppression(
+        jnp.array(boxes), jnp.array(scores), max_boxes=20,
+        iou_threshold=0.5, score_threshold=0.4,
+    )
+    assert np.asarray(valid).sum() == 1
+    assert np.asarray(os_)[np.asarray(valid)][0] == pytest.approx(0.9)
+
+
+def test_nms_reference_path_agrees(rng):
+    boxes, scores = _random_boxes(rng, n=50)
+    a = N.non_max_suppression(jnp.array(boxes), jnp.array(scores))
+    b = N.non_max_suppression_reference(jnp.array(boxes), jnp.array(scores))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)
+
+
+def test_decode_yolo_head_geometry():
+    # zero logits → sigmoid 0.5: each cell's box centered at (cell+0.5)/g,
+    # wh = anchor/input
+    g, input_size = 4, 64
+    anchors = jnp.array([[16.0, 16.0]])
+    raw = jnp.zeros((1, g, g, 1 * 6))
+    boxes, scores = D.decode_yolo_head(raw, anchors, 1, input_size)
+    boxes = np.asarray(boxes)[0].reshape(g, g, 4)
+    # cell (0,0): center (0.5/4, 0.5/4), wh 16/64=0.25
+    np.testing.assert_allclose(boxes[0, 0], [0.125 - 0.125, 0.125 - 0.125, 0.25, 0.25], atol=1e-6)
+    np.testing.assert_allclose(boxes[2, 1], [0.375 - 0.125, 0.625 - 0.125, 0.5, 0.75], atol=1e-6)
+    assert np.allclose(np.asarray(scores), 0.25)  # 0.5 obj × 0.5 cls
+
+
+def test_correct_letterbox_boxes_roundtrip():
+    # a box in a 200(w)×100(h) image letterboxed to 416
+    import deep_insight_face_tpu.ops.image as I
+
+    img = jnp.zeros((100, 200, 3))
+    _, meta = I.letterbox(img, 416)
+    scale = float(meta[0])
+    # normalized coords of source box (20, 10, 60, 50) in letterbox space
+    src = np.array([20.0, 10.0, 60.0, 50.0])
+    lb = np.array(
+        [
+            (src[0] * scale + float(meta[2])) / 416,
+            (src[1] * scale + float(meta[1])) / 416,
+            (src[2] * scale + float(meta[2])) / 416,
+            (src[3] * scale + float(meta[1])) / 416,
+        ]
+    )
+    out = np.asarray(
+        D.correct_letterbox_boxes(jnp.array(lb[None]), meta, 416, (100, 200))
+    )[0]
+    np.testing.assert_allclose(out, src, atol=0.5)
+
+
+def test_select_face_center_weighted():
+    # two boxes same size: one centered, one at corner → pick centered
+    boxes = np.array([[0, 0, 20, 20], [40, 40, 60, 60]], np.float32)
+    assert select_face(boxes, (100, 100)) == 1
+    # largest-only picks the bigger one regardless of position
+    boxes2 = np.array([[0, 0, 50, 50], [45, 45, 55, 55]], np.float32)
+    assert select_face(boxes2, (100, 100), largest_only=True) == 0
+
+
+def test_crop_with_margin():
+    img = np.arange(100 * 100 * 3, dtype=np.uint8).reshape(100, 100, 3)
+    crop, bb = crop_with_margin(img, np.array([10, 20, 30, 40]), margin=8)
+    np.testing.assert_array_equal(bb, [6, 16, 34, 44])
+    assert crop.shape == (28, 28, 3)
+    # clipping at borders
+    _, bb2 = crop_with_margin(img, np.array([0, 0, 99, 99]), margin=8)
+    np.testing.assert_array_equal(bb2, [0, 0, 100, 100])
+
+
+def test_to_rgb():
+    g = np.zeros((5, 6), np.uint8)
+    assert to_rgb(g).shape == (5, 6, 3)
+    assert to_rgb(g[:, :, None]).shape == (5, 6, 3)
+    rgb = np.zeros((5, 6, 3), np.uint8)
+    assert to_rgb(rgb) is rgb
+
+
+@pytest.mark.slow
+def test_yolo_model_and_detector_end_to_end(rng):
+    # random weights; checks shapes, jit, and the full pipeline plumbing
+    cfg = DetectorConfig(input_size=128, score_threshold=0.0)
+    model = YoloV3(num_classes=1, dtype=jnp.float32)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.key(0), x)
+    heads = model.apply(variables, x)
+    assert heads[0].shape == (1, 4, 4, 18)
+    assert heads[1].shape == (1, 8, 8, 18)
+    assert heads[2].shape == (1, 16, 16, 18)
+
+    det = FaceDetector(variables, cfg, model)
+    img = rng.integers(0, 255, (96, 120, 3), dtype=np.uint8)
+    crops, bbs = det(img, detect_multiple_faces=False)
+    # random weights → sigmoid ~0.5 scores ≥ 0 threshold: some box returns
+    assert len(crops) <= 1
+    for crop, bb in zip(crops, bbs):
+        assert crop.ndim == 3
+        assert bb.shape == (4,)
