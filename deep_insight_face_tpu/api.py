@@ -1,0 +1,257 @@
+"""Public API facade: detect → align → embed → compare.
+
+The working, import-safe equivalent of the reference's ``api.py``
+(reference: deep_insight_face/api.py — which builds a model at import
+time with missing args and hard-exits without an external landmark
+package; api.py:17-25,71-91). Same surface:
+
+``face_distance``, ``face_encodings``, ``compare_faces``,
+``detect_and_alignment``, ``face_landmarks``, ``create_thumbnail``,
+``largest_face_bounding_box`` — exposed both as methods of
+:class:`FaceRecognition` (explicit weights, no global state) and as
+module-level functions over a lazily-created default instance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_insight_face_tpu.config import Config, default_config
+from deep_insight_face_tpu.detector.runner import FaceDetector, to_rgb
+from deep_insight_face_tpu.models import build_embedding_model, init_embedding_params
+from deep_insight_face_tpu.models.landmark import LandmarkNet
+from deep_insight_face_tpu.ops.align import (
+    INNER_EYES_AND_BOTTOM_LIP,
+    MINMAX_TEMPLATE,
+    align_faces,
+    warp_affine,
+    affine_from_3pts,
+)
+from deep_insight_face_tpu.ops.image import preprocess, resize_bilinear
+from deep_insight_face_tpu.ops.losses import distance_to_probability
+
+#: 68-point landmark feature groups (reference: api.py:148-180)
+LANDMARK_GROUPS: Dict[str, Sequence[int]] = {
+    "chin": range(0, 17),
+    "left_eyebrow": range(17, 22),
+    "right_eyebrow": range(22, 27),
+    "nose_bridge": range(27, 31),
+    "nose_tip": range(31, 36),
+    "left_eye": range(36, 42),
+    "right_eye": range(42, 48),
+    "top_lip": list(range(48, 55)) + [64, 63, 62, 61, 60],
+    "bottom_lip": list(range(54, 60)) + [48, 60, 67, 66, 65, 64],
+}
+
+
+def face_distance(face_encodings: np.ndarray, face_to_compare: np.ndarray) -> np.ndarray:
+    """Euclidean distance from each encoding to a probe
+    (reference: api.py:94-103)."""
+    face_encodings = np.asarray(face_encodings)
+    if face_encodings.size == 0:
+        return np.empty((0,))
+    face_encodings = np.atleast_2d(face_encodings)
+    return np.linalg.norm(face_encodings - np.asarray(face_to_compare), axis=1)
+
+
+def compare_faces(
+    known_face_encodings: np.ndarray,
+    face_encoding_to_check: np.ndarray,
+    tolerance: float = 0.6,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(distances, probabilities) for a probe against known encodings.
+
+    Within tolerance the probability is a gaussian kernel, beyond it the
+    reciprocal 1/(1+d) (reference: api.py:242-256 + networks/utils.py:12-29).
+    """
+    dist = face_distance(known_face_encodings, face_encoding_to_check)
+    prob = np.asarray(distance_to_probability(jnp.asarray(dist), tolerance))
+    return dist, prob
+
+
+def largest_face_bounding_box(boxes: np.ndarray) -> Optional[np.ndarray]:
+    """Largest-area box or None (reference: api.py:116-121)."""
+    boxes = np.asarray(boxes)
+    if boxes.size == 0:
+        return None
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return boxes[int(np.argmax(areas))]
+
+
+class FaceRecognition:
+    """Detector + landmark + embedding pipeline with explicit weights."""
+
+    def __init__(
+        self,
+        cfg: Optional[Config] = None,
+        embed_variables=None,
+        detector_variables=None,
+        landmark_variables=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or default_config()
+        self.model = build_embedding_model(self.cfg.model)
+        key = jax.random.key(seed)
+        if embed_variables is None:
+            embed_variables = init_embedding_params(
+                self.model, key, self.cfg.model.image_size, self.cfg.model.channels
+            )
+        self.embed_variables = embed_variables
+        self._detector: Optional[FaceDetector] = None
+        self._detector_variables = detector_variables
+        self.landmark_model = LandmarkNet()
+        self._landmark_variables = landmark_variables
+        self._jit_embed = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+        self._jit_landmarks = jax.jit(
+            lambda v, x: self.landmark_model.apply(v, x, train=False)
+        )
+
+    # -- detection ----------------------------------------------------------
+
+    @property
+    def detector(self) -> FaceDetector:
+        if self._detector is None:
+            from deep_insight_face_tpu.models.yolov3 import YoloV3
+
+            model = YoloV3(num_classes=self.cfg.detector.num_classes)
+            variables = self._detector_variables
+            if variables is None:
+                variables = model.init(
+                    jax.random.key(0),
+                    jnp.zeros((1, self.cfg.detector.input_size,
+                               self.cfg.detector.input_size, 3)),
+                )
+            self._detector = FaceDetector(variables, self.cfg.detector, model)
+        return self._detector
+
+    def detect_bbox(self, image: np.ndarray):
+        """(crops, boxes) for all faces (reference intent: api.py:110)."""
+        return self.detector(image, detect_multiple_faces=True)
+
+    # -- landmarks ----------------------------------------------------------
+
+    def raw_landmarks(self, image: np.ndarray, box: np.ndarray) -> np.ndarray:
+        """68 (x, y) image-coordinate landmarks for one face box.
+
+        Uses the native LandmarkNet when weights are loaded; otherwise
+        falls back to projecting the OpenFace template into the box —
+        exactly the geometry the reference's alignment assumes
+        (reference: api.py:124-129 via external detect_marks).
+        """
+        x1, y1, x2, y2 = [float(v) for v in box[:4]]
+        w, h = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        if self._landmark_variables is not None:
+            crop = to_rgb(np.asarray(image))[int(y1) : int(y2), int(x1) : int(x2)]
+            crop = resize_bilinear(jnp.asarray(crop, jnp.float32), (112, 112))
+            pts = self._jit_landmarks(
+                self._landmark_variables, preprocess(crop[None], "tf")
+            )[0]
+            pts = np.asarray(pts)
+        else:
+            pts = np.asarray(MINMAX_TEMPLATE)
+        return pts * np.array([w, h]) + np.array([x1, y1])
+
+    def face_landmarks(
+        self, face_image: np.ndarray, face_locations: Optional[np.ndarray] = None
+    ) -> List[Dict[str, List[Tuple[float, float]]]]:
+        """Named landmark groups per face (reference: api.py:148-180)."""
+        image = to_rgb(np.asarray(face_image))
+        if face_locations is None:
+            _, boxes = self.detect_bbox(image)
+        else:
+            boxes = list(np.atleast_2d(face_locations))
+        results = []
+        for box in boxes:
+            pts = self.raw_landmarks(image, np.asarray(box))
+            results.append(
+                {
+                    name: [tuple(pts[i]) for i in idxs]
+                    for name, idxs in LANDMARK_GROUPS.items()
+                }
+            )
+        return results
+
+    # -- alignment ----------------------------------------------------------
+
+    def create_thumbnail(
+        self,
+        image: np.ndarray,
+        landmarks: np.ndarray,
+        img_dim: Optional[int] = None,
+    ) -> np.ndarray:
+        """Affine-align a face to the OpenFace template using the
+        inner-eyes + bottom-lip triple (reference: api.py:132-145)."""
+        img_dim = img_dim or self.cfg.model.image_size
+        image = to_rgb(np.asarray(image)).astype(np.float32)
+        idx = np.asarray(INNER_EYES_AND_BOTTOM_LIP)
+        src = np.asarray(landmarks, np.float32)[idx]
+        dst = np.asarray(MINMAX_TEMPLATE)[idx] * img_dim
+        m = affine_from_3pts(jnp.asarray(src), jnp.asarray(dst))
+        out = warp_affine(jnp.asarray(image[None]), m[None], (img_dim, img_dim))
+        return np.asarray(out[0], np.float32)
+
+    def detect_and_alignment(
+        self, image: np.ndarray, image_size: Optional[int] = None
+    ) -> List[np.ndarray]:
+        """All faces, detected and aligned to model input size
+        (reference: api.py:183-195, with the disabled alignment path
+        actually working)."""
+        image_size = image_size or self.cfg.model.image_size
+        image = to_rgb(np.asarray(image))
+        _, boxes = self.detect_bbox(image)
+        aligned = []
+        for box in boxes:
+            lm = self.raw_landmarks(image, np.asarray(box))
+            aligned.append(self.create_thumbnail(image, lm, image_size))
+        return aligned
+
+    # -- encoding -----------------------------------------------------------
+
+    def encode_crops(self, crops: np.ndarray) -> np.ndarray:
+        """(N, S, S, 3) uint8/float crops → (N, D) embeddings."""
+        x = jnp.asarray(np.asarray(crops, np.float32))
+        if x.ndim == 3:
+            x = x[None]
+        s = self.cfg.model.image_size
+        if x.shape[1] != s or x.shape[2] != s:
+            x = resize_bilinear(x, (s, s))
+        x = preprocess(x, self.cfg.data.preprocess_mode)
+        return np.asarray(self._jit_embed(self.embed_variables, x))
+
+    def face_encodings(
+        self, image: np.ndarray, image_size: Optional[int] = None
+    ) -> List[np.ndarray]:
+        """Detect, align, embed every face (reference: api.py:198-221)."""
+        aligned = self.detect_and_alignment(image, image_size)
+        if not aligned:
+            return []
+        return list(self.encode_crops(np.stack(aligned)))
+
+
+# ---------------------------------------------------------------------------
+# lazy default instance for the module-level convenience API
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _default() -> FaceRecognition:
+    return FaceRecognition()
+
+
+def face_encodings(image, image_size=None):
+    return _default().face_encodings(image, image_size)
+
+
+def detect_and_alignment(image, image_size=None):
+    return _default().detect_and_alignment(image, image_size)
+
+
+def face_landmarks(face_image, face_locations=None):
+    return _default().face_landmarks(face_image, face_locations)

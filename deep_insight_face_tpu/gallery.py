@@ -1,0 +1,117 @@
+"""Gallery matching & verification — the inference serving layer.
+
+Working equivalent of the reference's prediction classes
+(reference: deep_insight_face/predictions.py:47-156 — a per-identity
+Python loop of ``np.linalg.norm`` / model scores, with a broken
+``get_embedding``; SURVEY §2 #13), redesigned around the blocked Pallas
+gallery matcher: the whole database is one (N, D) device array and
+identification is a single fused matmul+argmax kernel call
+(ops/distances.gallery_match).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from deep_insight_face_tpu.ops.distances import gallery_match, gallery_scores
+
+#: verification thresholds per embedding family
+#: (reference: predictions.py:52 siamese 0.3, :104 triplet 0.7)
+DEFAULT_THRESHOLDS = {"siamese": 0.3, "triplet": 0.7, "arcface": 0.7}
+
+
+class FaceGallery:
+    """Named embedding database with fused match/verify/identify."""
+
+    def __init__(self, embedding_size: int = 128):
+        self.embedding_size = embedding_size
+        self._names: List[str] = []
+        self._embs: List[np.ndarray] = []
+        self._device_gallery: Optional[jnp.ndarray] = None
+
+    # -- enrollment ---------------------------------------------------------
+
+    def add(self, name: str, embedding: np.ndarray) -> None:
+        emb = np.asarray(embedding, np.float32).reshape(-1)
+        if emb.shape[0] != self.embedding_size:
+            raise ValueError(
+                f"embedding dim {emb.shape[0]} != gallery dim {self.embedding_size}"
+            )
+        self._names.append(name)
+        self._embs.append(emb)
+        self._device_gallery = None  # invalidate
+
+    def add_batch(self, names: Sequence[str], embeddings: np.ndarray) -> None:
+        for n, e in zip(names, embeddings):
+            self.add(n, e)
+
+    def __len__(self) -> int:
+        return len(self._names)
+
+    @property
+    def names(self) -> List[str]:
+        return list(self._names)
+
+    def _gallery(self) -> jnp.ndarray:
+        if self._device_gallery is None:
+            if not self._embs:
+                raise ValueError("gallery is empty")
+            self._device_gallery = jnp.asarray(np.stack(self._embs))
+        return self._device_gallery
+
+    # -- queries ------------------------------------------------------------
+
+    def identify(
+        self, queries: np.ndarray
+    ) -> Tuple[List[str], np.ndarray]:
+        """Best match per query: (names, cosine scores). One fused kernel —
+        no per-identity loop (cf. reference predictions.py:74-79)."""
+        q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        scores, idx = gallery_match(q, self._gallery())
+        idx = np.asarray(idx)
+        return [self._names[i] for i in idx], np.asarray(scores)
+
+    def verify(
+        self,
+        query: np.ndarray,
+        identity: str,
+        threshold: float = DEFAULT_THRESHOLDS["triplet"],
+    ) -> Tuple[bool, float]:
+        """Is ``query`` the claimed ``identity``? Uses euclidean distance of
+        l2-normalized embeddings against the enrolled entry, thresholded
+        (reference: predictions.py:99-135 'verify' door-open semantics)."""
+        if identity not in self._names:
+            raise KeyError(f"identity {identity!r} not enrolled")
+        i = self._names.index(identity)
+        q = np.asarray(query, np.float32).reshape(-1)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        g = self._embs[i]
+        gn = g / max(np.linalg.norm(g), 1e-12)
+        dist = float(np.linalg.norm(qn - gn))
+        return dist < threshold, dist
+
+    def scores_all(self, queries: np.ndarray) -> np.ndarray:
+        """Full (M, N) cosine score matrix (blocked Pallas matmul)."""
+        q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        return np.asarray(gallery_scores(q, self._gallery()))
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            names=np.array(self._names),
+            embeddings=np.stack(self._embs) if self._embs else np.zeros((0, self.embedding_size)),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FaceGallery":
+        data = np.load(path, allow_pickle=False)
+        emb = data["embeddings"]
+        g = cls(embedding_size=emb.shape[1] if emb.size else 128)
+        for n, e in zip(data["names"], emb):
+            g.add(str(n), e)
+        return g
