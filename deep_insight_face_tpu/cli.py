@@ -1,0 +1,252 @@
+"""Typed CLI: train / evaluate / generate-pairs / pack-bin /
+convert-weights / demo / bench.
+
+One argparse tree replacing the reference's four console scripts
+(reference: scripts/insight_face.py click group + generate_pairs.py +
+raw_img_tf.py + yolo_convert_tf.py argparse; setup.py:10-17), with no
+import-time model building and no side effects.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+
+def _add_common_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--backbone", default="resnet50v2",
+                   choices=["resnet50v2", "mobilenetv2", "vgg16", "inception_nn4"])
+    p.add_argument("--head", default="gdc", choices=["v1", "dense", "gdc", "none"])
+    p.add_argument("--embedding-size", type=int, default=128)
+    p.add_argument("--image-size", type=int, default=112)
+
+
+def cmd_train(args: argparse.Namespace) -> int:
+    from deep_insight_face_tpu.config import config_from_overrides
+    from deep_insight_face_tpu.training.trainer import Trainer
+
+    cfg = config_from_overrides(
+        {
+            "model": {
+                "backbone": args.backbone,
+                "head": args.head,
+                "embedding_size": args.embedding_size,
+                "image_size": args.image_size,
+            },
+            "data": {"batch_size": args.batch_size},
+            "train": {
+                "mode": args.mode,
+                "epochs": args.epochs,
+                "steps_per_epoch": args.steps_per_epoch,
+                "learning_rate": args.lr,
+                "num_classes": args.num_classes,
+                "checkpoint_dir": args.checkpoint_dir,
+            },
+            "mesh": {"model_parallel": args.model_parallel},
+        }
+    )
+    trainer = Trainer(cfg, log_dir=args.log_dir)
+    result = trainer.fit_directory(args.data_dir)
+    print(
+        f"trained {result.steps} steps in {result.wall_time_s:.1f}s "
+        f"(early stop: {result.stopped_early}); "
+        f"checkpoints in {cfg.train.checkpoint_dir}"
+    )
+    return 0
+
+
+def cmd_evaluate(args: argparse.Namespace) -> int:
+    import jax
+    import numpy as np
+
+    from deep_insight_face_tpu.config import EvalConfig, ModelConfig
+    from deep_insight_face_tpu.evaluation.evals import evaluate_lfw, report_to_csv
+    from deep_insight_face_tpu.models import build_embedding_model
+    from deep_insight_face_tpu.ops.image import preprocess
+    from deep_insight_face_tpu.parallel.train_step import create_train_state
+    from deep_insight_face_tpu.config import Config, TrainConfig
+    from deep_insight_face_tpu.utils.checkpoint import CheckpointManager
+
+    mcfg = ModelConfig(
+        backbone=args.backbone, head=args.head,
+        embedding_size=args.embedding_size, image_size=args.image_size,
+    )
+    cfg = Config(model=mcfg, train=TrainConfig(checkpoint_dir=args.checkpoint_dir))
+    model = build_embedding_model(mcfg)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):
+        mgr = CheckpointManager(args.checkpoint_dir)
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            print(f"restored checkpoint step {int(state.step)}")
+
+    jit_embed = jax.jit(
+        lambda v, x: model.apply(v, x, train=False)
+    )
+    variables = {"params": {k: v for k, v in state.params.items() if k != "classifier"},
+                 "batch_stats": state.batch_stats}
+
+    def embed_fn(imgs):
+        return np.asarray(jit_embed(variables, preprocess(imgs, "tf")))
+
+    ecfg = EvalConfig(
+        n_folds=args.folds, distance_metric=args.distance_metric,
+        subtract_mean=args.subtract_mean, use_flipped_images=args.flip,
+        batch_size=args.batch_size,
+    )
+    report = evaluate_lfw(
+        embed_fn, args.data_dir, args.pairs, ecfg, image_size=args.image_size
+    )
+    print(report.summary())
+    if args.csv:
+        report_to_csv(report, args.csv)
+        print(f"wrote {args.csv}")
+    return 0
+
+
+def cmd_generate_pairs(args: argparse.Namespace) -> int:
+    from deep_insight_face_tpu.data.pairs import generate_pairs
+
+    generate_pairs(
+        args.image_dir, args.num_folds, args.num_matches_mismatches,
+        write_to_file=True, pairs_file_name=args.pairs_file_name,
+        seed=args.seed,
+    )
+    print(f"wrote {os.path.join(args.image_dir, args.pairs_file_name)}")
+    return 0
+
+
+def cmd_pack_bin(args: argparse.Namespace) -> int:
+    from deep_insight_face_tpu.data.packer import pack_pairs_bin
+
+    n, skipped = pack_pairs_bin(
+        args.image_dir, args.pairs, args.output, image_size=args.image_size
+    )
+    print(f"packed {n} pairs ({skipped} skipped) → {args.output}")
+    return 0
+
+
+def cmd_convert_weights(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.models.yolov3 import YoloV3
+    from deep_insight_face_tpu.utils.weights import load_darknet_weights, save_npz
+
+    model = YoloV3(num_classes=args.num_classes)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, args.input_size, args.input_size, 3))
+    )
+    loaded = load_darknet_weights(args.weights, variables)
+    save_npz(args.output, loaded)
+    print(f"converted {args.weights} → {args.output}")
+    return 0
+
+
+def cmd_demo(args: argparse.Namespace) -> int:
+    import numpy as np
+
+    from deep_insight_face_tpu.api import FaceRecognition
+    from deep_insight_face_tpu.data.dataset import load_image
+
+    fr = FaceRecognition()
+    img = load_image(args.image)
+    t0 = time.perf_counter()
+    encodings = fr.face_encodings(img)
+    dt = time.perf_counter() - t0
+    print(f"found {len(encodings)} face(s) in {dt * 1000:.1f} ms")
+    for i, e in enumerate(encodings):
+        print(f"  face {i}: 128-D embedding, norm {np.linalg.norm(e):.3f}")
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import subprocess
+
+    return subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+         str(args.batch)]
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="deep-insight-face-tpu",
+        description="TPU-native face recognition framework",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train an embedding model")
+    _add_common_model_args(t)
+    t.add_argument("--data-dir", required=True)
+    t.add_argument("--mode", default="arcface",
+                   choices=["siamese", "triplet", "batch_hard",
+                            "batch_hard_euclidean", "batch_hard_auto",
+                            "batch_all", "semi_hard", "arcface", "cosface"])
+    t.add_argument("--epochs", type=int, default=20)
+    t.add_argument("--steps-per-epoch", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=128)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--num-classes", type=int, default=1000)
+    t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--log-dir", default="logs")
+    t.add_argument("--model-parallel", type=int, default=1)
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="LFW-protocol verification eval")
+    _add_common_model_args(e)
+    e.add_argument("--data-dir", required=True)
+    e.add_argument("--pairs", required=True)
+    e.add_argument("--checkpoint-dir", default="")
+    e.add_argument("--folds", type=int, default=10)
+    e.add_argument("--distance-metric", type=int, default=0, choices=[0, 1])
+    e.add_argument("--subtract-mean", action="store_true")
+    e.add_argument("--flip", action="store_true")
+    e.add_argument("--batch-size", type=int, default=128)
+    e.add_argument("--csv", default="")
+    e.set_defaults(fn=cmd_evaluate)
+
+    g = sub.add_parser("generate-pairs", help="write an LFW-style pairs.txt")
+    g.add_argument("--image-dir", required=True)
+    g.add_argument("--pairs-file-name", default="pairs.txt")
+    g.add_argument("--num-folds", type=int, required=True)
+    g.add_argument("--num-matches-mismatches", type=int, required=True)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_generate_pairs)
+
+    b = sub.add_parser("pack-bin", help="pack pair images into one binary")
+    b.add_argument("--image-dir", required=True)
+    b.add_argument("--pairs", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--image-size", type=int, default=112)
+    b.set_defaults(fn=cmd_pack_bin)
+
+    c = sub.add_parser("convert-weights", help="Darknet .weights → npz")
+    c.add_argument("--weights", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--num-classes", type=int, default=1)
+    c.add_argument("--input-size", type=int, default=416)
+    c.set_defaults(fn=cmd_convert_weights)
+
+    d = sub.add_parser("demo", help="detect+embed faces in one image")
+    d.add_argument("image")
+    d.set_defaults(fn=cmd_demo)
+
+    bn = sub.add_parser("bench", help="run the throughput benchmark")
+    bn.add_argument("--batch", type=int, default=32)
+    bn.set_defaults(fn=cmd_bench)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,115 @@
+"""End-to-end verification evaluation: pairs.txt → embeddings → k-fold
+ROC / TAR@FAR / AUC / EER report + CSV export.
+
+Working equivalent of the reference's evaluate entry point
+(reference: deep_insight_face/evaluation/evals.py:19-125 — whose batch
+loop iterates ``next(generator)`` incorrectly and references undefined
+names; SURVEY §2 #14). Embedding extraction is batched + jitted, with
+optional horizontal-flip augmentation fusion (average of emb(x) and
+emb(flip(x)) — the eval CLI's flip flag).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from deep_insight_face_tpu.config import EvalConfig
+from deep_insight_face_tpu.data.dataset import ImageLoader
+from deep_insight_face_tpu.data.pairs import read_pairs, resolve_pair_paths
+from deep_insight_face_tpu.evaluation.verification import (
+    VerificationReport,
+    evaluate,
+)
+
+
+def embed_paths(
+    embed_fn: Callable[[np.ndarray], np.ndarray],
+    paths: Sequence[str],
+    image_size: int,
+    batch_size: int = 128,
+    use_flipped: bool = False,
+    loader: Optional[ImageLoader] = None,
+    preprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+) -> np.ndarray:
+    """Decode + embed a path list in fixed-size batches (padding the tail
+    so the jitted embed_fn sees one geometry)."""
+    loader = loader or ImageLoader(image_size=image_size)
+    out: List[np.ndarray] = []
+    n = len(paths)
+    for start in range(0, n, batch_size):
+        chunk = list(paths[start : start + batch_size])
+        pad = batch_size - len(chunk)
+        imgs = loader.load_batch(chunk).astype(np.float32)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        if preprocess is not None:
+            imgs = preprocess(imgs)
+        emb = np.asarray(embed_fn(imgs))
+        if use_flipped:
+            emb_f = np.asarray(embed_fn(imgs[:, :, ::-1, :]))
+            emb = (emb + emb_f) / 2.0
+        out.append(emb[: batch_size - pad])
+    return np.concatenate(out)
+
+
+def evaluate_lfw(
+    embed_fn: Callable[[np.ndarray], np.ndarray],
+    lfw_dir: str,
+    pairs_path: str,
+    cfg: Optional[EvalConfig] = None,
+    preprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    image_size: int = 112,
+) -> VerificationReport:
+    """Full protocol (reference: evals.py:28-79): parse pairs, resolve
+    paths, embed both members of every pair, run the k-fold report."""
+    cfg = cfg or EvalConfig()
+    pairs = read_pairs(pairs_path)
+    paths, issame, skipped = resolve_pair_paths(lfw_dir, pairs)
+    if skipped:
+        print(f"skipped {skipped} pairs with missing files")
+    if not issame:
+        raise ValueError("no resolvable pairs")
+    embeddings = embed_paths(
+        embed_fn, paths, image_size, cfg.batch_size,
+        use_flipped=cfg.use_flipped_images, preprocess=preprocess,
+    )
+    thresholds = np.arange(0, cfg.threshold_max, cfg.roc_threshold_step)
+    val_thresholds = np.arange(0, cfg.threshold_max, cfg.val_threshold_step)
+    return evaluate(
+        embeddings, issame,
+        nrof_folds=cfg.n_folds,
+        distance_metric=cfg.distance_metric,
+        subtract_mean=cfg.subtract_mean,
+        far_target=cfg.far_target,
+        thresholds=thresholds,
+        val_thresholds=val_thresholds,
+    )
+
+
+def report_to_csv(report: VerificationReport, path: str) -> None:
+    """Detailed CSV export (reference: evals.py:91-125 result_to_csv)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metric", "value"])
+        w.writerow(["accuracy_mean", report.accuracy_mean])
+        w.writerow(["accuracy_std", report.accuracy_std])
+        w.writerow(["tar_at_far", report.val])
+        w.writerow(["tar_at_far_std", report.val_std])
+        w.writerow(["far", report.far])
+        w.writerow(["auc", report.auc])
+        w.writerow(["eer", report.eer])
+        w.writerow([])
+        w.writerow(["fold", "accuracy", "f1", "best_threshold"])
+        for i, (a, f1, t) in enumerate(
+            zip(report.accuracy, report.f1, report.best_thresholds)
+        ):
+            w.writerow([i, a, f1, t])
+        w.writerow([])
+        w.writerow(["threshold_index", "tpr", "fpr"])
+        for i, (tp, fp) in enumerate(zip(report.tpr, report.fpr)):
+            w.writerow([i, tp, fp])

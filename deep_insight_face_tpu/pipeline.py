@@ -1,0 +1,110 @@
+"""Fused detect → align → embed serving pipeline.
+
+The throughput path of the BASELINE north star (≥5k faces/sec/chip on
+v5e): one jitted program per batch geometry that runs the detector
+(YOLOv3 416), decode + Pallas NMS, box selection, similarity-align to
+112×112, preprocessing and the embedding CNN — device-resident end to
+end, uint8 in / embeddings out, no host round-trips.
+
+The reference executes this as five separate host-synchronized stages
+with cv2/PIL in between (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_insight_face_tpu.config import Config, default_config
+from deep_insight_face_tpu.detector.decode import (
+    correct_letterbox_boxes,
+    decode_detections,
+)
+from deep_insight_face_tpu.models.embedding import EmbeddingModel
+from deep_insight_face_tpu.models.yolov3 import YoloV3
+from deep_insight_face_tpu.ops.align import ARCFACE_TEMPLATE_112, umeyama_similarity, warp_affine
+from deep_insight_face_tpu.ops.image import letterbox, preprocess
+from deep_insight_face_tpu.ops.nms import non_max_suppression
+
+
+class PipelineOutput(NamedTuple):
+    embeddings: jnp.ndarray  # (N, D)
+    boxes: jnp.ndarray  # (N, 4) selected face box, source pixels
+    scores: jnp.ndarray  # (N,) detector confidence
+    found: jnp.ndarray  # (N,) bool
+
+
+def _select_best_box(boxes, scores, valid, image_hw):
+    """Center-weighted selection (area − 2·center_offset²) over valid
+    detections, fully vectorized (cf. detector/runner.select_face)."""
+    h, w = image_hw
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
+    quality = jnp.where(valid, areas - 2.0 * (cx**2 + cy**2), -jnp.inf)
+    i = jnp.argmax(quality)
+    return boxes[i], scores[i], valid[i]
+
+
+def build_pipeline(
+    cfg: Config,
+    embed_model: EmbeddingModel,
+    detector_model: Optional[YoloV3] = None,
+):
+    """Returns jitted fn(detector_vars, embed_vars, images_uint8) →
+    PipelineOutput for a fixed (N, H, W, 3) geometry."""
+    det_cfg = cfg.detector
+    detector_model = detector_model or YoloV3(num_classes=det_cfg.num_classes)
+    anchors = jnp.asarray(np.array(det_cfg.anchors, np.float32))
+    out_size = cfg.model.image_size
+    # 5-point template normalized to the unit box: alignment maps the
+    # detected face box onto the canonical ArcFace layout
+    tpl_unit = jnp.asarray(ARCFACE_TEMPLATE_112 / 112.0)
+    tpl_dst = jnp.asarray(ARCFACE_TEMPLATE_112) * (out_size / 112.0)
+
+    @jax.jit
+    def run(detector_vars, embed_vars, images) -> PipelineOutput:
+        n, h, w, _ = images.shape
+        x = images.astype(jnp.float32)
+        boxed, meta = letterbox(x, det_cfg.input_size)
+        heads = detector_model.apply(detector_vars, boxed / 255.0, train=False)
+        raw_boxes, raw_scores = decode_detections(
+            heads, anchors, det_cfg.anchor_masks, det_cfg.num_classes,
+            det_cfg.input_size,
+        )
+        face_scores = raw_scores[..., 0]
+
+        def per_image(b, s):
+            ob, os_, valid = non_max_suppression(
+                b, s, max_boxes=det_cfg.max_boxes,
+                iou_threshold=det_cfg.iou_threshold,
+                score_threshold=det_cfg.score_threshold,
+            )
+            ob = correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w))
+            return _select_best_box(ob, os_, valid, (h, w))
+
+        box, score, found = jax.vmap(per_image)(raw_boxes, face_scores)
+
+        # landmarks = 5-pt template laid into the (margin-expanded) box
+        m = float(det_cfg.bbox_margin)
+        x1 = box[:, 0] - m / 2
+        y1 = box[:, 1] - m / 2
+        bw = box[:, 2] - box[:, 0] + m
+        bh = box[:, 3] - box[:, 1] + m
+        src = (
+            tpl_unit[None, :, :] * jnp.stack([bw, bh], -1)[:, None, :]
+            + jnp.stack([x1, y1], -1)[:, None, :]
+        )
+        mats = jax.vmap(lambda lm: umeyama_similarity(lm, tpl_dst))(src)
+        crops = warp_affine(x, mats, (out_size, out_size))
+
+        emb = embed_model.apply(
+            embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False
+        )
+        return PipelineOutput(embeddings=emb, boxes=box, scores=score, found=found)
+
+    return run
