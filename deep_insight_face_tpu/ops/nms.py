@@ -67,13 +67,56 @@ def _greedy_select(
 
 
 def _nms_kernel(max_boxes: int, iou_threshold: float,
-                boxes_ref, scores_ref, idx_ref, valid_ref):
-    boxes = boxes_ref[:]  # (K, 4) — last dim padded to 128 lanes by Mosaic
-    scores = scores_ref[0, :]  # (K,)
-    iou = iou_matrix(boxes, boxes)
-    idx, valid = _greedy_select(scores, iou, max_boxes, iou_threshold)
-    idx_ref[0, :] = idx
-    valid_ref[0, :] = valid.astype(jnp.int32)
+                rows_ref, cols_ref, scores_ref, idx_ref, valid_ref):
+    """Mosaic-friendly greedy NMS: no gathers and no transposes — boxes
+    arrive in BOTH layouts ((4, K) rows and (K, 4) columns) so the
+    (K,1)×(1,K) IoU broadcasts need no in-kernel transpose, and the
+    selected IoU row is extracted with a one-hot masked reduction.
+    Outputs accumulate densely in the fori_loop carry.
+    """
+    k = scores_ref.shape[1]
+    x1r, y1r = rows_ref[0:1, :], rows_ref[1:2, :]  # (1, K)
+    x2r, y2r = rows_ref[2:3, :], rows_ref[3:4, :]
+    x1c, y1c = cols_ref[:, 0:1], cols_ref[:, 1:2]  # (K, 1)
+    x2c, y2c = cols_ref[:, 2:3], cols_ref[:, 3:4]
+
+    area_r = jnp.maximum(x2r - x1r, 0.0) * jnp.maximum(y2r - y1r, 0.0)  # (1, K)
+    area_c = jnp.maximum(x2c - x1c, 0.0) * jnp.maximum(y2c - y1c, 0.0)  # (K, 1)
+
+    iw = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
+    ih = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
+    inter = iw * ih  # (K, K)
+    union = area_c + area_r - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+
+    neg = jnp.float32(-jnp.inf)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    col_k1 = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (1, max_boxes), 1)
+
+    def body(i, carry):
+        active, idx_acc, valid_acc = carry
+        best_score = jnp.max(active)
+        best = jnp.argmax(active[0, :]).astype(jnp.int32)
+        valid = best_score > neg
+        onehot = col == best  # (1, K)
+        onehot_col = col_k1 == best  # (K, 1)
+        iou_row = jnp.sum(jnp.where(onehot_col, iou, 0.0), axis=0, keepdims=True)
+        suppress = (iou_row > iou_threshold) | onehot
+        active = jnp.where(valid & suppress, neg, active)
+        slot = out_col == i
+        idx_acc = jnp.where(slot, jnp.where(valid, best, 0), idx_acc)
+        valid_acc = jnp.where(slot, valid.astype(jnp.int32), valid_acc)
+        return active, idx_acc, valid_acc
+
+    init = (
+        scores_ref[:],
+        jnp.zeros((1, max_boxes), jnp.int32),
+        jnp.zeros((1, max_boxes), jnp.int32),
+    )
+    _, idx_acc, valid_acc = jax.lax.fori_loop(0, max_boxes, body, init)
+    idx_ref[:] = idx_acc
+    valid_ref[:] = valid_acc
 
 
 @functools.partial(
@@ -99,7 +142,7 @@ def non_max_suppression(
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
 
-    kp = max(round_up(k, 8), 8)
+    kp = max(round_up(k, 128), 128)
     pad = kp - k
     boxes_p = jnp.pad(top_boxes.astype(jnp.float32), ((0, pad), (0, 0)))
     scores_p = jnp.pad(top_scores.astype(jnp.float32), (0, pad),
@@ -108,6 +151,7 @@ def non_max_suppression(
     idx, valid = pl.pallas_call(
         functools.partial(_nms_kernel, max_boxes, iou_threshold),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -120,7 +164,7 @@ def non_max_suppression(
             jax.ShapeDtypeStruct((1, max_boxes), jnp.int32),
         ),
         interpret=interpret_mode(),
-    )(boxes_p, scores_p[None, :])
+    )(boxes_p.T, boxes_p, scores_p[None, :])
 
     idx = idx[0]
     valid = valid[0].astype(bool)

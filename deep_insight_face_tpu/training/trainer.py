@@ -120,9 +120,11 @@ class Trainer:
     def data_iterator(
         self, dataset_dir: str, num_batches: Optional[int] = None, seed: int = 0
     ) -> Iterator[Dict[str, Any]]:
+        from deep_insight_face_tpu.data.native_loader import make_image_loader
+
         classes = get_dataset(dataset_dir)
         sampler = make_sampler(self.cfg, classes, seed)
-        loader = ImageLoader(
+        loader = make_image_loader(
             num_threads=self.cfg.data.num_decode_threads,
             image_size=self.cfg.model.image_size,
         )
