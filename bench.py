@@ -15,10 +15,16 @@ that reference).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: the fused pipeline is a large program and the
+# remote TPU compile is slow — cache it across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_FACES_PER_SEC = 250.0  # TF2-CPU estimate: 5000 target / 20×
 

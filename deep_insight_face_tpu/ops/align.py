@@ -65,24 +65,29 @@ def affine_from_3pts(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
 
 
 def umeyama_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-    """Least-squares similarity transform (Umeyama 1991, no reflection
-    correction skipped — full algorithm) mapping src → dst. Returns 2×3."""
+    """Least-squares similarity transform mapping src → dst. Returns 2×3.
+
+    Closed form over scaled rotations: with centered points p, q, the
+    optimal ``[[a, -b], [b, a]]`` has ``a = Σ(p·q)/Σ‖p‖²`` and
+    ``b = Σ(p×q)/Σ‖p‖²``. Identical to Umeyama (1991) whenever the
+    optimal rotation is proper (always true for consistently-oriented
+    face landmarks) — and, unlike the SVD formulation, it lowers to a
+    handful of VPU ops (jnp.linalg.svd takes >60 s to compile on TPU).
+    """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
-    n = src.shape[0]
     mu_s = jnp.mean(src, axis=0)
     mu_d = jnp.mean(dst, axis=0)
-    sc = src - mu_s
-    dc = dst - mu_d
-    cov = dc.T @ sc / n  # (2, 2)
-    u, s, vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(u) * jnp.linalg.det(vt)
-    d = jnp.array([1.0, 1.0]) * jnp.where(det < 0, jnp.array([1.0, -1.0]), 1.0)
-    r = (u * d[None, :]) @ vt
-    var_s = jnp.mean(jnp.sum(sc * sc, axis=1))
-    scale = jnp.sum(s * d) / jnp.maximum(var_s, 1e-12)
-    t = mu_d - scale * (r @ mu_s)
-    return jnp.concatenate([scale * r, t[:, None]], axis=1)
+    p = src - mu_s
+    q = dst - mu_d
+    denom = jnp.maximum(jnp.sum(p * p), 1e-12)
+    a = jnp.sum(p * q) / denom
+    b = jnp.sum(p[:, 0] * q[:, 1] - p[:, 1] * q[:, 0]) / denom
+    m = jnp.array([[1.0, 0.0], [0.0, 1.0]]) * a + jnp.array(
+        [[0.0, -1.0], [1.0, 0.0]]
+    ) * b
+    t = mu_d - m @ mu_s
+    return jnp.concatenate([m, t[:, None]], axis=1)
 
 
 def invert_affine(m: jnp.ndarray) -> jnp.ndarray:

@@ -179,6 +179,50 @@ def random_crop_resize(
     return top * (1 - fy) + bot * fy
 
 
+def random_affine(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_rotation_deg: float = 15.0,
+    max_shift: float = 0.08,
+    max_shear_deg: float = 8.0,
+    zoom_range: Tuple[float, float] = (0.9, 1.1),
+) -> jnp.ndarray:
+    """Per-image random rotation/shift/shear/zoom, composed into ONE warp.
+
+    The reference composes the same four homographies on the host with
+    scipy ndimage per image (reference: common/iterator.py:410-484,
+    common/image_aug.py:77-97); here the composed 2×3 matrices are built
+    batched on device and applied by the batched bilinear warp.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine
+
+    n, h, w, _ = images.shape
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    theta = jnp.deg2rad(
+        jax.random.uniform(k1, (n,), minval=-max_rotation_deg, maxval=max_rotation_deg)
+    )
+    shear = jnp.deg2rad(
+        jax.random.uniform(k2, (n,), minval=-max_shear_deg, maxval=max_shear_deg)
+    )
+    zoom = jax.random.uniform(k3, (n,), minval=zoom_range[0], maxval=zoom_range[1])
+    tx = jax.random.uniform(k4, (n,), minval=-max_shift, maxval=max_shift) * w
+    ty = jax.random.uniform(k5, (n,), minval=-max_shift, maxval=max_shift) * h
+
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # rotation+zoom about the image center, then shear, then shift
+    a = zoom * cos
+    b = -zoom * jnp.sin(theta + shear)
+    c = zoom * sin
+    d = zoom * jnp.cos(theta + shear)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    t_x = cx - a * cx - b * cy + tx
+    t_y = cy - c * cx - d * cy + ty
+    mats = jnp.stack(
+        [jnp.stack([a, b, t_x], -1), jnp.stack([c, d, t_y], -1)], axis=1
+    )  # (n, 2, 3)
+    return warp_affine(images, mats, (h, w))
+
+
 AUGMENTATION_OPTIONS = ("default", "geometric", "non_geometric", "both", "all", "none")
 
 
@@ -194,11 +238,13 @@ def augment_batch(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
         return images
-    k = jax.random.split(key, 5)
+    k = jax.random.split(key, 6)
     x = images.astype(jnp.float32)
     if option in ("geometric", "both", "all", "default"):
         x = random_flip(k[0], x)
         x = random_crop_resize(k[1], x)
+    if option == "all":
+        x = random_affine(k[5], x)
     if option in ("non_geometric", "both", "all", "default"):
         x = random_brightness(k[2], x)
         x = random_contrast(k[3], x)
