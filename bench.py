@@ -39,11 +39,12 @@ def main() -> None:
         init_embedding_params,
     )
     from deep_insight_face_tpu.models.yolov3 import YoloV3
-    from deep_insight_face_tpu.pipeline import build_pipeline
+    from deep_insight_face_tpu.pipeline import build_benchmark_fn
 
     cfg = default_config()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     platform = jax.devices()[0].platform
+    iters = 20 if platform == "tpu" else 2
 
     embed_model = build_embedding_model(cfg.model)
     embed_vars = init_embedding_params(
@@ -55,22 +56,23 @@ def main() -> None:
         jnp.zeros((1, cfg.detector.input_size, cfg.detector.input_size, 3)),
     )
 
-    run = build_pipeline(cfg, embed_model, det_model)
+    # iters chained pipeline steps inside ONE jit: each step's input
+    # depends on the previous output, so every iteration truly executes
+    # (no value-caching, no per-call host round-trips in the middle)
+    bench = build_benchmark_fn(cfg, embed_model, det_model, iters=iters)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.integers(0, 255, (batch, 416, 416, 3), dtype=np.uint8)
-    )
+    ).astype(jnp.float32)
 
-    # warmup / compile
-    out = run(det_vars, embed_vars, images)
-    jax.block_until_ready(out.embeddings)
+    out = bench(det_vars, embed_vars, images)  # warmup / compile
+    jax.block_until_ready(out)
 
-    iters = 20 if platform == "tpu" else 3
     start = time.perf_counter()
-    for _ in range(iters):
-        out = run(det_vars, embed_vars, images)
-    jax.block_until_ready(out.embeddings)
+    out = bench(det_vars, embed_vars, images + 1.0)
+    jax.block_until_ready(out)
+    float(out)  # force the result back to the host
     elapsed = time.perf_counter() - start
 
     faces_per_sec = batch * iters / elapsed

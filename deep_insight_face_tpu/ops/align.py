@@ -145,6 +145,74 @@ def _warp_one(
     return top * (1 - fy) + bot * fy
 
 
+def _interp_matrix(
+    pos: jnp.ndarray, in_size: int
+) -> jnp.ndarray:
+    """(…, out, in) bilinear interpolation matrix for sample positions
+    ``pos`` (…, out) along one axis. Out-of-range samples weight to 0."""
+    grid = jnp.arange(in_size, dtype=jnp.float32)
+    p0 = jnp.floor(pos)
+    frac = pos - p0
+
+    def tap(p, weight):
+        in_bounds = (p >= 0.0) & (p <= in_size - 1.0)
+        pc = jnp.clip(p, 0.0, in_size - 1.0)
+        return (grid == pc[..., None]) * (weight * in_bounds)[..., None]
+
+    # per-tap validity (matches the gather warp: an out-of-range tap
+    # contributes 0 while its in-range partner still blends)
+    return tap(p0, 1.0 - frac) + tap(p0 + 1.0, frac)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def scale_translate_warp(
+    images: jnp.ndarray,
+    scales: jnp.ndarray,
+    offsets: jnp.ndarray,
+    out_hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Axis-aligned batched warp: dst(y, x) = src(sy·y + oy, sx·x + ox),
+    bilinear, constant-0 border.
+
+    The separable case of warp_affine (crop + resize — exactly what the
+    detect→embed pipeline needs) expressed as two dense interpolation-
+    matrix contractions, which run on the MXU instead of the gather unit:
+    TPU gathers made the gather-based warp the single slowest pipeline
+    stage (~13 ms/batch-32 vs <1 ms for this formulation).
+
+    ``scales``: (N, 2) [sy, sx]; ``offsets``: (N, 2) [oy, ox].
+    """
+    n, h, w, c = images.shape
+    oh, ow = out_hw
+    x = images.astype(jnp.float32)
+    ys = scales[:, 0:1] * jnp.arange(oh, dtype=jnp.float32)[None, :] + offsets[:, 0:1]
+    xs = scales[:, 1:2] * jnp.arange(ow, dtype=jnp.float32)[None, :] + offsets[:, 1:2]
+    wv = _interp_matrix(ys, h)  # (n, oh, h)
+    wh = _interp_matrix(xs, w)  # (n, ow, w)
+    t = jnp.einsum("nyh,nhwc->nywc", wv, x, preferred_element_type=jnp.float32)
+    return jnp.einsum("nxw,nywc->nyxc", wh, t, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def crop_resize_boxes(
+    images: jnp.ndarray, boxes: jnp.ndarray, out_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Batched box crop + bilinear resize (x1, y1, x2, y2 float boxes) via
+    the separable MXU warp. Sampling convention matches
+    cv2.resize(crop, out) with half-pixel centers."""
+    oh, ow = out_hw
+    bw = boxes[:, 2] - boxes[:, 0]
+    bh = boxes[:, 3] - boxes[:, 1]
+    sy = bh / oh
+    sx = bw / ow
+    # half-pixel: dst pixel y samples src at y1 + (y + 0.5)·sy − 0.5
+    oy = boxes[:, 1] + 0.5 * sy - 0.5
+    ox = boxes[:, 0] + 0.5 * sx - 0.5
+    return scale_translate_warp(
+        images, jnp.stack([sy, sx], -1), jnp.stack([oy, ox], -1), out_hw
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw",))
 def warp_affine(
     images: jnp.ndarray, matrices: jnp.ndarray, out_hw: Tuple[int, int]
