@@ -94,6 +94,10 @@ class TrainConfig:
     contrastive_margin: float = 1.0  # (reference: networks/siamese.py:32-39)
     arcface_margin: float = 0.5
     arcface_scale: float = 64.0
+    # Flash (Pallas) margin-softmax: streams the classifier in VMEM tiles
+    # instead of materializing (B, C) logits in HBM — use for very large
+    # identity counts (ops/margin_softmax.py).
+    flash_ce: bool = False
     num_classes: int = 1000  # identities for the classification head
     warmup_steps: int = 100
     grad_clip_norm: float = 0.0

@@ -163,6 +163,18 @@ def _classifier_loss(cfg: Config, emb, kernel, labels):
         m1, m2, m3 = 1.0, 0.0, 0.35
     else:
         m1, m2, m3 = 1.0, t.arcface_margin, 0.0
+    if t.flash_ce:
+        # Pallas flash CE: normalize here, stream the (B, C) middle in VMEM
+        from deep_insight_face_tpu.ops.margin_softmax import flash_arcface_loss
+
+        emb_n = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+        )
+        w_n = kernel / jnp.maximum(
+            jnp.linalg.norm(kernel, axis=0, keepdims=True), 1e-12
+        )
+        loss = flash_arcface_loss(emb_n, w_n, labels, m1, m2, m3, t.arcface_scale)
+        return loss, {}
     logits = L.arcface_logits(
         emb, kernel, labels, margin1=m1, margin2=m2, margin3=m3,
         scale=t.arcface_scale,
