@@ -235,6 +235,29 @@ class FaceRecognition:
         return list(self.encode_crops(np.stack(aligned)))
 
 
+    # -- gallery verification ------------------------------------------------
+
+    def verify_identity(
+        self,
+        image: np.ndarray,
+        identity: str,
+        gallery,
+        threshold: float = 0.7,
+    ):
+        """Detect the face in ``image`` and verify the claimed identity
+        against an enrolled gallery — the image-level "door open/closed"
+        flow of the reference's prediction classes
+        (reference: predictions.py:52-79 siamese thr 0.3,
+        :104-135 triplet thr 0.7). Returns (accepted, distance).
+        """
+        from deep_insight_face_tpu.exceptions import NoFaceDetectedError
+
+        encodings = self.face_encodings(image)
+        if not encodings:
+            raise NoFaceDetectedError()
+        return gallery.verify(encodings[0], identity, threshold=threshold)
+
+
 # ---------------------------------------------------------------------------
 # lazy default instance for the module-level convenience API
 # ---------------------------------------------------------------------------

@@ -90,6 +90,45 @@ def evaluate_lfw(
     )
 
 
+def evaluate_bin(
+    embed_fn: Callable[[np.ndarray], np.ndarray],
+    bin_path: str,
+    cfg: Optional[EvalConfig] = None,
+    preprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+) -> VerificationReport:
+    """Eval from a packed pairs bin (data/packer.py), the fast-IO path the
+    reference reads via its pickle .bin (reference: training/triplet.py:84-90
+    val-data .bin branch, scripts/raw_img_tf.py)."""
+    from deep_insight_face_tpu.data.packer import load_pairs_bin
+
+    cfg = cfg or EvalConfig()
+    images, issame = load_pairs_bin(bin_path)
+    embs = []
+    n = len(images)
+    bs = cfg.batch_size
+    for start in range(0, n, bs):
+        chunk = images[start : start + bs].astype(np.float32)
+        pad = bs - len(chunk)
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+            )
+        if preprocess is not None:
+            chunk = preprocess(chunk)
+        e = np.asarray(embed_fn(chunk))
+        if cfg.use_flipped_images:
+            e = (e + np.asarray(embed_fn(chunk[:, :, ::-1, :]))) / 2.0
+        embs.append(e[: bs - pad])
+    embeddings = np.concatenate(embs)
+    return evaluate(
+        embeddings, list(issame),
+        nrof_folds=cfg.n_folds, distance_metric=cfg.distance_metric,
+        subtract_mean=cfg.subtract_mean, far_target=cfg.far_target,
+        thresholds=np.arange(0, cfg.threshold_max, cfg.roc_threshold_step),
+        val_thresholds=np.arange(0, cfg.threshold_max, cfg.val_threshold_step),
+    )
+
+
 def report_to_csv(report: VerificationReport, path: str) -> None:
     """Detailed CSV export (reference: evals.py:91-125 result_to_csv)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -124,7 +124,7 @@ def build_benchmark_fn(
     cfg: Config,
     embed_model: EmbeddingModel,
     detector_model: Optional[YoloV3] = None,
-    iters: int = 20,
+    iters: int = 4,
 ):
     """One jitted program running ``iters`` chained pipeline steps.
 
@@ -132,17 +132,22 @@ def build_benchmark_fn(
     embedding-derived perturbation), which (a) forces truly sequential
     execution of every iteration and (b) defeats any value-level result
     caching between host and device — wall time / iters is the honest
-    steady-state batch latency.
+    steady-state batch latency. Keep ``iters`` small (the chain is
+    unrolled here — scan-of-pipeline compiles pathologically slowly on
+    the remote TPU toolchain) and amortize host round-trips by calling
+    the returned fn with several distinct inputs.
     """
     run = build_pipeline(cfg, embed_model, detector_model, jit=False)
 
     @jax.jit
     def bench(detector_vars, embed_vars, images):
-        def step(imgs, _):
+        total = jnp.float32(0.0)
+        imgs = images
+        for _ in range(iters):
             out = run(detector_vars, embed_vars, imgs)
             eps = jnp.sum(out.embeddings) * 1e-12 + jnp.sum(out.boxes) * 1e-12
-            return imgs + eps, jnp.sum(out.scores)
-        final_imgs, scores = jax.lax.scan(step, images, None, length=iters)
-        return jnp.sum(final_imgs[0, 0]) + jnp.sum(scores)
+            imgs = imgs + eps
+            total = total + jnp.sum(out.scores)
+        return total
 
     return bench
