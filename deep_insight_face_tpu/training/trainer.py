@@ -98,13 +98,16 @@ class Trainer:
     # -- data ---------------------------------------------------------------
 
     def _device_transform(self, host_batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        """uint8 host batch → augmented, preprocessed float batch (host-side
-        numpy for the cheap parts; heavy aug runs jitted on device inside
-        the prefetch transform)."""
+        """uint8 host batch → augmented, preprocessed float batch (decode on
+        host; augmentation runs jitted on device inside the prefetch
+        transform). Aug randomness is a deterministic per-batch stream
+        seeded from the config."""
         out = {}
         aug_opt = self.cfg.data.augmentation
-        key = jax.random.key(int(time.time_ns()) % (2**31))
-        i = 0
+        self._aug_counter = getattr(self, "_aug_counter", 0) + 1
+        key = jax.random.fold_in(
+            jax.random.key(self.cfg.data.shuffle_seed), self._aug_counter
+        )
         for k, v in host_batch.items():
             if v.ndim == 4:  # image tensor
                 x = jnp.asarray(v).astype(jnp.float32)
@@ -112,7 +115,6 @@ class Trainer:
                     key, sub = jax.random.split(key)
                     x = augment_batch(sub, x, aug_opt)
                 out[k] = preprocess(x, self.cfg.data.preprocess_mode)
-                i += 1
             else:
                 out[k] = jnp.asarray(v)
         return out
