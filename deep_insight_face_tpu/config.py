@@ -53,6 +53,7 @@ class DetectorConfig:
     detector/yolo_cfg/yolo_anchors.txt).
     """
 
+    variant: str = "full"  # full (Darknet-53, accuracy tier) | tiny (serving tier)
     input_size: int = 416
     max_boxes: int = 20
     score_threshold: float = 0.4

@@ -115,6 +115,62 @@ class _FPNStage(nn.Module):
         return branch, head
 
 
+class YoloV3Tiny(nn.Module):
+    """yolov3-tiny topology: 2 detection scales (strides 32/16), ~12×
+    fewer FLOPs than the full model — the serving-tier detector.
+
+    At v5e peak the full YOLOv3-416 (≈66 GFLOP/img) caps end-to-end
+    throughput below the 5k faces/sec target on physics alone; tiny is
+    the standard production trade (full YoloV3 remains for accuracy
+    parity with the reference's converter path).
+    """
+
+    num_classes: int = 1
+    anchors_per_scale: int = 3
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        out_ch = self.anchors_per_scale * (5 + self.num_classes)
+        x = x.astype(self.dtype)
+        feats = []
+        c = 16
+        for i in range(5):
+            x = _DarkConv(c, 3, name=f"conv{i}", **kw)(x, train)
+            if i == 4:
+                feats.append(x)  # stride-16 route (256 ch)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            c *= 2
+        x = _DarkConv(512, 3, name="conv5", **kw)(x, train)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        x = _DarkConv(1024, 3, name="conv6", **kw)(x, train)
+        x = _DarkConv(256, 1, name="conv7", **kw)(x, train)
+
+        y13 = _DarkConv(512, 3, name="head13_pre", **kw)(x, train)
+        head13 = _DarkConv(out_ch, 1, use_bn=False, act=False,
+                           name="head13", **kw)(y13, train)
+
+        u = _DarkConv(128, 1, name="up_conv", **kw)(x, train)
+        u = jax.image.resize(
+            u, (u.shape[0], u.shape[1] * 2, u.shape[2] * 2, u.shape[3]),
+            method="nearest",
+        )
+        y26 = jnp.concatenate([u, feats[0]], axis=-1)
+        y26 = _DarkConv(256, 3, name="head26_pre", **kw)(y26, train)
+        head26 = _DarkConv(out_ch, 1, use_bn=False, act=False,
+                           name="head26", **kw)(y26, train)
+        f32 = jnp.float32
+        return head13.astype(f32), head26.astype(f32)
+
+
+#: anchor masks for the 2-scale tiny model (coarse scale gets the large
+#: anchors)
+TINY_ANCHOR_MASKS = ((6, 7, 8), (3, 4, 5))
+
+
 class YoloV3(nn.Module):
     """Full detector: input (N, S, S, 3) in [0, 1] → 3 raw head tensors
     at strides 32/16/8 (channels = anchors_per_scale × (5 + num_classes))."""

@@ -25,7 +25,7 @@ from deep_insight_face_tpu.detector.decode import (
     decode_detections,
 )
 from deep_insight_face_tpu.models.embedding import EmbeddingModel
-from deep_insight_face_tpu.models.yolov3 import YoloV3
+from deep_insight_face_tpu.models.yolov3 import TINY_ANCHOR_MASKS, YoloV3, YoloV3Tiny
 from deep_insight_face_tpu.ops.align import (
     ARCFACE_TEMPLATE_112,
     crop_resize_boxes,
@@ -34,6 +34,13 @@ from deep_insight_face_tpu.ops.align import (
 )
 from deep_insight_face_tpu.ops.image import letterbox, preprocess
 from deep_insight_face_tpu.ops.nms import non_max_suppression
+
+
+def make_detector_model(det_cfg) -> Tuple[object, Tuple]:
+    """(model, anchor_masks) for the configured detector variant."""
+    if det_cfg.variant == "tiny":
+        return YoloV3Tiny(num_classes=det_cfg.num_classes), TINY_ANCHOR_MASKS
+    return YoloV3(num_classes=det_cfg.num_classes), det_cfg.anchor_masks
 
 
 class PipelineOutput(NamedTuple):
@@ -66,7 +73,14 @@ def build_pipeline(
     ``jit=False`` — the raw fn composes into larger programs, e.g. the
     scan-chained benchmark loop)."""
     det_cfg = cfg.detector
-    detector_model = detector_model or YoloV3(num_classes=det_cfg.num_classes)
+    if detector_model is None:
+        detector_model, anchor_masks = make_detector_model(det_cfg)
+    else:
+        anchor_masks = (
+            TINY_ANCHOR_MASKS
+            if isinstance(detector_model, YoloV3Tiny)
+            else det_cfg.anchor_masks
+        )
     anchors = jnp.asarray(np.array(det_cfg.anchors, np.float32))
     out_size = cfg.model.image_size
     # 5-point template normalized to the unit box: alignment maps the
@@ -80,7 +94,7 @@ def build_pipeline(
         boxed, meta = letterbox(x, det_cfg.input_size)
         heads = detector_model.apply(detector_vars, boxed / 255.0, train=False)
         raw_boxes, raw_scores = decode_detections(
-            heads, anchors, det_cfg.anchor_masks, det_cfg.num_classes,
+            heads, anchors, anchor_masks, det_cfg.num_classes,
             det_cfg.input_size,
         )
         face_scores = raw_scores[..., 0]
