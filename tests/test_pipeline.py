@@ -1,0 +1,83 @@
+"""Fused pipeline tests (CPU, small geometry, tiny detector)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_insight_face_tpu.config import (
+    Config,
+    DataConfig,
+    DetectorConfig,
+    ModelConfig,
+)
+from deep_insight_face_tpu.models import build_embedding_model, init_embedding_params
+from deep_insight_face_tpu.pipeline import (
+    build_benchmark_fn,
+    build_pipeline,
+    make_detector_model,
+)
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return Config(
+        model=ModelConfig(backbone="mobilenetv2", head="gdc", embedding_size=16,
+                          image_size=32, compute_dtype="float32",
+                          width_multiplier=0.35),
+        detector=DetectorConfig(variant="tiny", input_size=128,
+                                score_threshold=0.0),
+        data=DataConfig(preprocess_mode="tf"),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_setup(small_cfg):
+    em = build_embedding_model(small_cfg.model)
+    ev = init_embedding_params(em, jax.random.key(0), small_cfg.model.image_size)
+    dm, _ = make_detector_model(small_cfg.detector)
+    dv = dm.init(jax.random.key(1), jnp.zeros((1, 128, 128, 3)))
+    return em, ev, dm, dv
+
+
+def test_make_detector_model_variants():
+    from deep_insight_face_tpu.models.yolov3 import (
+        TINY_ANCHOR_MASKS, YoloV3, YoloV3Tiny,
+    )
+
+    tiny, masks = make_detector_model(DetectorConfig(variant="tiny"))
+    assert isinstance(tiny, YoloV3Tiny) and masks == TINY_ANCHOR_MASKS
+    full, masks_f = make_detector_model(DetectorConfig(variant="full"))
+    assert isinstance(full, YoloV3) and len(masks_f) == 3
+
+
+def test_pipeline_shapes_and_finiteness(small_cfg, pipeline_setup, rng):
+    em, ev, dm, dv = pipeline_setup
+    run = build_pipeline(small_cfg, em, dm)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8))
+    out = run(dv, ev, imgs)
+    assert out.embeddings.shape == (2, 16)
+    assert out.boxes.shape == (2, 4)
+    assert out.scores.shape == (2,)
+    assert np.isfinite(np.asarray(out.embeddings)).all()
+    # embeddings l2-normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out.embeddings), axis=1), 1.0, atol=1e-4
+    )
+    # boxes inside the source image
+    b = np.asarray(out.boxes)
+    assert (b[:, 0] >= 0).all() and (b[:, 2] <= 96).all()
+    assert (b[:, 1] >= 0).all() and (b[:, 3] <= 96).all()
+
+
+def test_benchmark_fn_runs(small_cfg, pipeline_setup, rng):
+    em, ev, dm, dv = pipeline_setup
+    bench = build_benchmark_fn(small_cfg, em, dm, iters=2)
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8)
+    ).astype(jnp.float32)
+    out = float(bench(dv, ev, imgs))
+    assert np.isfinite(out)
