@@ -91,7 +91,22 @@ class FaceDetector:
         model: Optional[YoloV3] = None,
     ):
         self.cfg = config or DetectorConfig()
-        self.model = model or YoloV3(num_classes=self.cfg.num_classes)
+        if model is None:
+            from deep_insight_face_tpu.pipeline import make_detector_model
+
+            model, self._masks = make_detector_model(self.cfg)
+        else:
+            from deep_insight_face_tpu.models.yolov3 import (
+                TINY_ANCHOR_MASKS,
+                YoloV3Tiny,
+            )
+
+            self._masks = (
+                TINY_ANCHOR_MASKS
+                if isinstance(model, YoloV3Tiny)
+                else self.cfg.anchor_masks
+            )
+        self.model = model
         self.variables = variables
         self._anchors = jnp.asarray(np.array(self.cfg.anchors, np.float32))
         self._jitted = {}
@@ -108,7 +123,7 @@ class FaceDetector:
             boxed, meta = letterbox(images.astype(jnp.float32), cfg.input_size)
             heads = self.model.apply(variables, boxed / 255.0, train=False)
             boxes, scores = decode_detections(
-                heads, self._anchors, cfg.anchor_masks, cfg.num_classes,
+                heads, self._anchors, self._masks, cfg.num_classes,
                 cfg.input_size,
             )
             face_scores = scores[..., 0]  # single class (face)
