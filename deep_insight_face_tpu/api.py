@@ -113,14 +113,54 @@ class FaceRecognition:
             lambda v, x: self.landmark_model.apply(v, x, train=False)
         )
 
+    @classmethod
+    def from_checkpoint(
+        cls,
+        checkpoint_dir: str,
+        cfg: Optional[Config] = None,
+        detector_weights: Optional[str] = None,
+        **kw,
+    ) -> "FaceRecognition":
+        """Build from an Orbax training checkpoint (utils/checkpoint.py)
+        and, optionally, converted detector weights (npz from
+        ``convert-weights``). The working version of the reference's
+        weight-loading path (reference: api.py:71-88 load_weights)."""
+        import dataclasses as _dc
+
+        from deep_insight_face_tpu.parallel.train_step import create_train_state
+        from deep_insight_face_tpu.utils.checkpoint import CheckpointManager
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        cfg = cfg or default_config()
+        model = build_embedding_model(cfg.model)
+        state = create_train_state(
+            model, _dc.replace(cfg, train=_dc.replace(cfg.train, mode="arcface")),
+            jax.random.key(0),
+        )
+        mgr = CheckpointManager(checkpoint_dir)
+        if mgr.latest_step() is None:
+            raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
+        state = mgr.restore(state)
+        embed_variables = {
+            "params": {k: v for k, v in state.params.items() if k != "classifier"},
+            "batch_stats": state.batch_stats,
+        }
+        detector_variables = load_npz(detector_weights) if detector_weights else None
+        return cls(
+            cfg=cfg,
+            embed_variables=embed_variables,
+            detector_variables=detector_variables,
+            **kw,
+        )
+
     # -- detection ----------------------------------------------------------
 
     @property
     def detector(self) -> FaceDetector:
         if self._detector is None:
-            from deep_insight_face_tpu.models.yolov3 import YoloV3
+            from deep_insight_face_tpu.pipeline import make_detector_model
 
-            model = YoloV3(num_classes=self.cfg.detector.num_classes)
+            model, _ = make_detector_model(self.cfg.detector)
             variables = self._detector_variables
             if variables is None:
                 variables = model.init(
