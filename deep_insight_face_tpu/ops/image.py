@@ -179,6 +179,38 @@ def random_crop_resize(
     return top * (1 - fy) + bot * fy
 
 
+def fit_dataset_stats(
+    images: jnp.ndarray, zca: bool = False, zca_epsilon: float = 1e-6
+):
+    """Featurewise dataset statistics (mean, std, optional ZCA whitening
+    matrix) — the device-side equivalent of the Keras-iterator ``fit``
+    the reference forks (reference: common/iterator.py:517-578).
+
+    Returns a dict consumed by :func:`apply_dataset_stats`.
+    """
+    x = images.astype(jnp.float32)
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    std = jnp.std(x, axis=0, keepdims=True)
+    stats = {"mean": mean, "std": std, "zca": None}
+    if zca:
+        flat = (x - mean).reshape(x.shape[0], -1)
+        sigma = flat.T @ flat / x.shape[0]
+        u, s, _ = jnp.linalg.svd(sigma, full_matrices=False)
+        stats["zca"] = (u * (1.0 / jnp.sqrt(s + zca_epsilon))) @ u.T
+    return stats
+
+
+def apply_dataset_stats(images: jnp.ndarray, stats) -> jnp.ndarray:
+    """Featurewise standardization (+ ZCA when fitted)."""
+    x = (images.astype(jnp.float32) - stats["mean"]) / jnp.maximum(
+        stats["std"], 1e-6
+    )
+    if stats.get("zca") is not None:
+        n = x.shape[0]
+        x = (x.reshape(n, -1) @ stats["zca"]).reshape(images.shape)
+    return x
+
+
 def random_affine(
     key: jax.Array,
     images: jnp.ndarray,

@@ -150,3 +150,21 @@ def test_augment_jit_compatible(rng):
     f = jax.jit(lambda k, im: I.augment_batch(k, im, "both"))
     out = f(jax.random.key(3), x)
     assert out.shape == x.shape
+
+
+def test_dataset_stats_featurewise(rng):
+    x = jnp.array(rng.uniform(0, 255, (20, 6, 6, 3)).astype(np.float32))
+    stats = I.fit_dataset_stats(x)
+    out = np.asarray(I.apply_dataset_stats(x, stats))
+    np.testing.assert_allclose(out.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(out.std(axis=0), 1.0, atol=1e-2)
+
+
+def test_dataset_stats_zca(rng):
+    x = jnp.array(rng.uniform(0, 255, (30, 4, 4, 1)).astype(np.float32))
+    stats = I.fit_dataset_stats(x, zca=True)
+    out = np.asarray(I.apply_dataset_stats(x, stats)).reshape(30, -1)
+    # whitened covariance ≈ scaled identity on the leading components
+    cov = out.T @ out / 30
+    off_diag = cov - np.diag(np.diag(cov))
+    assert np.abs(off_diag).max() < 0.3
