@@ -96,6 +96,23 @@ def main() -> None:
     faces_per_sec = total_faces / best
     p50_latency_ms = best / (chain * reps) * 1000.0
 
+    # single-image p50 latency (BASELINE metric): batch-1 pipeline,
+    # median of sequential fetch-timed calls
+    single_lat_ms = None
+    if platform == "tpu":
+        from deep_insight_face_tpu.pipeline import build_pipeline
+
+        run1 = build_pipeline(cfg, embed_model, det_model)
+        one = batches[0][:1]
+        float(jnp.sum(run1(det_vars, embed_vars, one).embeddings))  # compile
+        lats = []
+        for i in range(7):
+            t0 = time.perf_counter()
+            out1 = run1(det_vars, embed_vars, one + float(i + 1))
+            float(jnp.sum(out1.embeddings))
+            lats.append(time.perf_counter() - t0)
+        single_lat_ms = sorted(lats)[len(lats) // 2] * 1000.0
+
     print(
         json.dumps(
             {
@@ -105,6 +122,9 @@ def main() -> None:
                 "vs_baseline": round(faces_per_sec / REFERENCE_FACES_PER_SEC, 3),
                 "batch": batch, "detector": cfg.detector.variant,
                 "batch_latency_ms": round(p50_latency_ms, 2),
+                "p50_single_image_ms": (
+                    round(single_lat_ms, 2) if single_lat_ms else None
+                ),
                 "platform": platform,
             }
         )
