@@ -33,17 +33,25 @@ from deep_insight_face_tpu.ops.pallas_utils import interpret_mode, round_up
 _TC = 512  # classifier column tile
 
 
+import math
+
+
 def _margin_cos(cos: jnp.ndarray, m1: float, m2: float, m3: float) -> jnp.ndarray:
-    theta = jnp.arccos(jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7))
-    return jnp.cos(m1 * theta + m2) - m3
+    """cos(θ + m2) − m3 for m1 == 1 (ArcFace/CosFace), acos-free:
+    cosθ·cos m2 − sinθ·sin m2. Mosaic has no acos lowering; m1 ≠ 1
+    (SphereFace) stays on the XLA path (ops/losses.arcface_logits)."""
+    if m1 != 1.0:
+        raise NotImplementedError("flash kernel supports m1 == 1 only")
+    c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
+    sin = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-12))
+    return c * math.cos(m2) - sin * math.sin(m2) - m3
 
 
 def _margin_dcos(cos: jnp.ndarray, m1: float, m2: float) -> jnp.ndarray:
-    """d margin_cos / d cos = m1·sin(m1θ+m2)/sinθ."""
+    """d/dc [c·cos m2 − √(1−c²)·sin m2] = cos m2 + (c/√(1−c²))·sin m2."""
     c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(c)
     sin = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-12))
-    return m1 * jnp.sin(m1 * theta + m2) / sin
+    return math.cos(m2) + (c / sin) * math.sin(m2)
 
 
 # ---------------------------------------------------------------------------

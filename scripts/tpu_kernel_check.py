@@ -1,0 +1,37 @@
+import sys, os; sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+import numpy as np, jax, jax.numpy as jnp
+rng = np.random.default_rng(0)
+
+# gallery kernels
+from deep_insight_face_tpu.ops.distances import gallery_scores, gallery_match
+q = jnp.asarray(rng.normal(size=(200, 128)).astype(np.float32))
+g = jnp.asarray(rng.normal(size=(1000, 128)).astype(np.float32))
+s = np.asarray(gallery_scores(q, g))
+qn = np.asarray(q) / np.linalg.norm(q, axis=1, keepdims=True)
+gn = np.asarray(g) / np.linalg.norm(g, axis=1, keepdims=True)
+dense = qn @ gn.T
+print("gallery_scores max err:", np.abs(s - dense).max(), flush=True)
+sc, idx = gallery_match(q, g)
+print("gallery_match idx match:", (np.asarray(idx) == dense.argmax(1)).mean(), flush=True)
+
+# flash margin softmax
+from deep_insight_face_tpu.ops.margin_softmax import flash_arcface_loss
+b, d, c = 64, 128, 4096
+emb = rng.normal(size=(b, d)).astype(np.float32); emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+w = rng.normal(size=(d, c)).astype(np.float32); w /= np.linalg.norm(w, axis=0, keepdims=True)
+labels = rng.integers(0, c, b)
+def xla_loss(e, ww):
+    cos = jnp.clip(e @ ww, -1 + 1e-7, 1 - 1e-7)
+    oh = jax.nn.one_hot(jnp.array(labels), c)
+    t = jnp.cos(jnp.arccos(cos) + 0.5)
+    logits = jnp.where(oh > 0, t, cos) * 64.0
+    lp = jax.nn.log_softmax(logits, -1)
+    return -jnp.mean(jnp.take_along_axis(lp, jnp.array(labels)[:, None], 1)[:, 0])
+got = float(flash_arcface_loss(jnp.array(emb), jnp.array(w), jnp.array(labels)))
+want = float(xla_loss(jnp.array(emb), jnp.array(w)))
+print(f"flash CE: {got:.5f} vs xla {want:.5f}", flush=True)
+gf = jax.grad(lambda e: flash_arcface_loss(e, jnp.array(w), jnp.array(labels)))(jnp.array(emb))
+gx = jax.grad(lambda e: xla_loss(e, jnp.array(w)))(jnp.array(emb))
+print("flash grad max err:", float(jnp.abs(gf - gx).max()), flush=True)
+print("ALL KERNELS OK", flush=True)
