@@ -190,6 +190,20 @@ def make_train_step(cfg: Config, mesh=None):
     t = cfg.train
     mode = t.mode
     data_axis = mesh.axis_names[0] if mesh is not None else None
+    if (
+        t.flash_ce
+        and mode in CLASSIFIER_MODES
+        and mesh is not None
+        and len(mesh.axis_names) > 1
+        and mesh.shape[mesh.axis_names[1]] > 1
+    ):
+        # cross-shard online-softmax combine for the Pallas kernel is a
+        # planned feature; today flash CE needs the classifier unsharded
+        raise NotImplementedError(
+            "flash_ce with model_parallel > 1 is not supported yet — "
+            "use the XLA margin softmax (flash_ce=False) for the "
+            "vocab-parallel classifier"
+        )
 
     def constrain_data(x):
         if mesh is None:

@@ -195,3 +195,33 @@ def test_distance_to_probability():
     np.testing.assert_allclose(p[1], np.exp(-0.3 / 2.0), atol=1e-5)
     np.testing.assert_allclose(p[3], 1.0 / 3.0, atol=1e-5)
     assert np.all(np.diff(p) < 0)
+
+
+def test_wing_loss_properties(rng):
+    from deep_insight_face_tpu.ops.landmark_loss import wing_loss
+
+    pred = jnp.array(rng.normal(size=(4, 68, 2)).astype(np.float32))
+    assert float(wing_loss(pred, pred)) == pytest.approx(0.0, abs=1e-6)
+    # monotone in error magnitude
+    t = jnp.zeros_like(pred)
+    small = float(wing_loss(pred * 0.1, t))
+    big = float(wing_loss(pred * 10.0, t))
+    assert small < big
+    # matches the analytic form at a known offset
+    x = 30.0  # > omega → linear branch
+    import math
+    c = 10.0 - 10.0 * math.log(1 + 10.0 / 2.0)
+    got = float(wing_loss(jnp.full((1, 1, 2), x), jnp.zeros((1, 1, 2))))
+    assert got == pytest.approx(x - c, rel=1e-5)
+
+
+def test_normalized_mean_error(rng):
+    from deep_insight_face_tpu.ops.landmark_loss import normalized_mean_error
+
+    target = jnp.array(rng.uniform(0, 100, (2, 68, 2)).astype(np.float32))
+    assert float(normalized_mean_error(target, target)) == pytest.approx(0.0, abs=1e-6)
+    shifted = target + 5.0
+    nme = float(normalized_mean_error(shifted, target))
+    iod = np.linalg.norm(np.asarray(target)[:, 45] - np.asarray(target)[:, 36], axis=-1)
+    want = np.mean(np.sqrt(50.0) / iod)
+    assert nme == pytest.approx(want, rel=1e-4)

@@ -152,3 +152,30 @@ def test_batch_hard_auto_alpha_threads_state(rng):
     a0 = float(state.alpha)
     state, _ = step(state, _batch(rng, cfg))
     assert float(state.alpha) != a0
+
+
+def test_flash_ce_train_step(rng):
+    import dataclasses
+
+    cfg = _tiny_cfg(mode="arcface", model_parallel=1, num_classes=16)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, flash_ce=True)
+    )
+    mesh = create_mesh(cfg.mesh)
+    model = build_embedding_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0), mesh=mesh)
+    step = make_train_step(cfg, mesh)
+    state, metrics = step(state, _batch(rng, cfg))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_flash_ce_rejects_model_parallel(rng):
+    import dataclasses
+
+    cfg = _tiny_cfg(mode="arcface", model_parallel=2)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, flash_ce=True)
+    )
+    mesh = create_mesh(cfg.mesh)
+    with pytest.raises(NotImplementedError):
+        make_train_step(cfg, mesh)
