@@ -109,6 +109,28 @@ def darknet_yolov3_layer_order() -> List[Tuple[PathTuple, bool]]:
     return order
 
 
+def darknet_yolov3_tiny_layer_order() -> List[Tuple[PathTuple, bool]]:
+    """Ordered (module path, has_bn) for models.yolov3.YoloV3Tiny, matching
+    the Darknet yolov3-tiny weight-file layer order (13 convs, heads
+    without BN)."""
+    order: List[Tuple[PathTuple, bool]] = []
+    for i in range(5):
+        order.append(((f"conv{i}",), True))
+    order.extend(
+        [
+            (("conv5",), True),
+            (("conv6",), True),
+            (("conv7",), True),
+            (("head13_pre",), True),
+            (("head13",), False),
+            (("up_conv",), True),
+            (("head26_pre",), True),
+            (("head26",), False),
+        ]
+    )
+    return order
+
+
 def load_darknet_weights(
     weights_path: str,
     variables: Dict,

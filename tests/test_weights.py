@@ -137,3 +137,58 @@ def test_npz_roundtrip(tmp_path, rng):
         np.asarray(back["params"]["layer"]["kernel"]),
         np.asarray(tree["params"]["layer"]["kernel"]),
     )
+
+
+def test_tiny_layer_order_matches_model(rng):
+    """Every path in the tiny order exists in a real YoloV3Tiny param tree
+    with the right BN presence."""
+    from deep_insight_face_tpu.models.yolov3 import YoloV3Tiny
+
+    model = YoloV3Tiny(num_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    params = variables["params"]
+    order = W.darknet_yolov3_tiny_layer_order()
+    assert len(order) == 13
+    assert sum(1 for _, bn in order if not bn) == 2
+    for path, has_bn in order:
+        node = params
+        for p in path:
+            assert p in node, f"missing {path}"
+            node = node[p]
+        assert "conv" in node
+        assert ("bn" in node) == has_bn, path
+        assert ("bias" in node["conv"]) == (not has_bn), path
+
+
+def test_tiny_darknet_weights_roundtrip(tmp_path, rng):
+    """Synthetic darknet-tiny binary loads end-to-end into YoloV3Tiny."""
+    import struct
+
+    from deep_insight_face_tpu.models.yolov3 import YoloV3Tiny
+
+    model = YoloV3Tiny(num_classes=1, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    order = W.darknet_yolov3_tiny_layer_order()
+
+    path = tmp_path / "tiny.weights"
+    with open(path, "wb") as f:
+        f.write(struct.pack("3i", 0, 2, 0))
+        f.write(struct.pack("q", 0))
+        for p, has_bn in order:
+            node = variables["params"]
+            for k in p:
+                node = node[k]
+            kh, kw, cin, cout = node["conv"]["kernel"].shape
+            if has_bn:
+                rng.normal(size=cout).astype(np.float32).tofile(f)  # beta
+                rng.normal(size=cout).astype(np.float32).tofile(f)  # gamma
+                rng.normal(size=cout).astype(np.float32).tofile(f)  # mean
+                (rng.random(cout) + 0.5).astype(np.float32).tofile(f)  # var > 0
+            else:
+                rng.normal(size=cout).astype(np.float32).tofile(f)
+            rng.normal(size=(cout, cin, kh, kw)).astype(np.float32).tofile(f)
+
+    loaded = W.load_darknet_weights(str(path), variables, order)
+    out = model.apply(loaded, jnp.zeros((1, 128, 128, 3)))
+    assert out[0].shape[-1] == 18
+    assert np.isfinite(np.asarray(out[0])).all()
