@@ -1,5 +1,5 @@
 """Flash margin-softmax (ArcFace/CosFace) — Pallas TPU kernel with
-custom VJP.
+custom VJP, single-device and cross-shard (model-parallel) variants.
 
 The BASELINE north star names a "Pallas margin-softmax head". The XLA
 formulation (ops/losses.arcface_loss) materializes the full (B, C)
@@ -7,39 +7,44 @@ logit matrix in HBM — at face-recognition identity counts (C = 10⁵…10⁷)
 that is hundreds of MB per step and caps the per-chip classifier shard.
 This kernel streams the classifier in (D, TC) column tiles through VMEM
 with an online-softmax accumulator (flash-attention-style rescaling), so
-HBM holds only the (B,) loss and the (B, D)/(D, C) gradients:
+HBM holds only per-row (max, sumexp, target) partials and the gradients:
 
   forward:  per tile → logits = emb·W_tile (MXU) → combined margin on the
             target column → running max/sum-exp/target accumulators
   backward: recompute logits per tile → p = exp(l − M)/Z →
             demb += (p − onehot·∂margin) · W_tileᵀ, dW_tile = embᵀ · (…)
 
-Composes with the model-parallel sharding in parallel/train_step.py: each
-model shard runs the kernel over its identity range.
+Cross-shard (partial-FC) mode: each model shard runs the kernel over its
+identity range (a column offset makes target matching global), then the
+per-row partials combine with pmax/psum + rescaling under shard_map —
+the softmax is exact over the full identity set while no chip ever holds
+more than its classifier shard. ``make_sharded_flash_arcface_loss``
+builds the shard_map-wrapped loss used by parallel/train_step.py.
+
+Margins use the acos-free m1=1 closed form (Mosaic has no acos);
+SphereFace-style m1≠1 stays on the XLA path.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import math
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 from deep_insight_face_tpu.ops.pallas_utils import interpret_mode, round_up
 
 _TC = 512  # classifier column tile
 
 
-import math
-
-
 def _margin_cos(cos: jnp.ndarray, m1: float, m2: float, m3: float) -> jnp.ndarray:
     """cos(θ + m2) − m3 for m1 == 1 (ArcFace/CosFace), acos-free:
-    cosθ·cos m2 − sinθ·sin m2. Mosaic has no acos lowering; m1 ≠ 1
-    (SphereFace) stays on the XLA path (ops/losses.arcface_logits)."""
+    cosθ·cos m2 − sinθ·sin m2."""
     if m1 != 1.0:
         raise NotImplementedError("flash kernel supports m1 == 1 only")
     c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
@@ -55,27 +60,30 @@ def _margin_dcos(cos: jnp.ndarray, m1: float, m2: float) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# forward kernel → per-row (max, sumexp, target-logit) partials
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(m1, m2, m3, scale, n_classes,
-                emb_ref, w_ref, label_ref,
-                loss_ref, max_ref, z_ref,
+                off_ref, emb_ref, w_ref, label_ref,
+                max_ref, z_ref, tgt_ref,
                 run_max, run_z, run_tgt):
     j = pl.program_id(0)
     tc = w_ref.shape[1]
     b = emb_ref.shape[0]
+    off = off_ref[0]
 
     logits = jax.lax.dot_general(
         emb_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (B, TC) cosines
-    col = j * tc + jax.lax.broadcasted_iota(jnp.int32, (b, tc), 1)
-    labels = label_ref[:, 0:1]  # (B, 1)
-    is_target = col == labels
-    in_range = col < n_classes
+    local_col = j * tc + jax.lax.broadcasted_iota(jnp.int32, (b, tc), 1)
+    labels = label_ref[:, 0:1]  # (B, 1) global identity ids
+    in_range = local_col < n_classes
+    # mask padding columns: a padded local column's global index can
+    # collide with a target id that lives on another shard
+    is_target = ((local_col + off) == labels) & in_range
 
     adjusted = jnp.where(is_target, _margin_cos(logits, m1, m2, m3), logits)
     adjusted = jnp.where(in_range, adjusted * scale, -jnp.inf)
@@ -101,34 +109,33 @@ def _fwd_kernel(m1, m2, m3, scale, n_classes,
 
     @pl.when(j == pl.num_programs(0) - 1)
     def _():
-        m = run_max[:]
-        z = run_z[:]
-        loss_ref[:] = jnp.log(z) + m - run_tgt[:]
-        max_ref[:] = m
-        z_ref[:] = z
+        max_ref[:] = run_max[:]
+        z_ref[:] = run_z[:]
+        tgt_ref[:] = run_tgt[:]
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# backward kernel (takes the COMBINED max/Z — works sharded and single)
 # ---------------------------------------------------------------------------
 
 
 def _bwd_kernel(m1, m2, m3, scale, n_classes,
-                emb_ref, w_ref, label_ref, max_ref, z_ref, g_ref,
+                off_ref, emb_ref, w_ref, label_ref, max_ref, z_ref, g_ref,
                 demb_ref, dw_ref, acc):
     j = pl.program_id(0)
     tc = w_ref.shape[1]
     b = emb_ref.shape[0]
+    off = off_ref[0]
 
     logits = jax.lax.dot_general(
         emb_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    col = j * tc + jax.lax.broadcasted_iota(jnp.int32, (b, tc), 1)
+    local_col = j * tc + jax.lax.broadcasted_iota(jnp.int32, (b, tc), 1)
     labels = label_ref[:, 0:1]
-    is_target = col == labels
-    in_range = col < n_classes
+    in_range = local_col < n_classes
+    is_target = ((local_col + off) == labels) & in_range
 
     adjusted = jnp.where(is_target, _margin_cos(logits, m1, m2, m3), logits)
     scaled = jnp.where(in_range, adjusted * scale, -jnp.inf)
@@ -139,16 +146,14 @@ def _bwd_kernel(m1, m2, m3, scale, n_classes,
     dmargin = _margin_dcos(logits, m1, m2)
     dcos = jnp.where(
         is_target, (p - 1.0) * scale * dmargin, p * scale
-    ) * g_ref[:]  # (B, TC), g broadcast per row
+    ) * g_ref[:]  # (B, TC), per-row cotangent broadcast
 
-    # dW tile: (D, TC) = embᵀ · dcos
     dw_ref[:] = jax.lax.dot_general(
         emb_ref[:], dcos,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    # demb accumulation: (B, D) += dcos · W_tileᵀ
     contrib = jax.lax.dot_general(
         dcos, w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -169,7 +174,7 @@ def _bwd_kernel(m1, m2, m3, scale, n_classes,
 
 
 # ---------------------------------------------------------------------------
-# host-side wrappers + custom VJP
+# host-side wrappers
 # ---------------------------------------------------------------------------
 
 
@@ -183,13 +188,17 @@ def _pad_operands(emb, w, labels):
     return emb_p, w_p, lab_p, (b, d, c, bp, dp, cp)
 
 
-def _flash_fwd(emb, w, labels, m1, m2, m3, scale):
+def _flash_partials(emb, w, labels, m1, m2, m3, scale, col_offset):
+    """(max, sumexp, target) per row, each (B, 1), over this classifier
+    block (columns [col_offset, col_offset + C))."""
     emb_p, w_p, lab_p, (b, d, c, bp, dp, cp) = _pad_operands(emb, w, labels)
+    off = jnp.asarray(col_offset, jnp.int32).reshape(1)
     grid = (cp // _TC,)
-    loss, mx, z = pl.pallas_call(
+    mx, z, t = pl.pallas_call(
         functools.partial(_fwd_kernel, m1, m2, m3, scale, c),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((bp, dp), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dp, _TC), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -210,18 +219,25 @@ def _flash_fwd(emb, w, labels, m1, m2, m3, scale):
             pltpu.VMEM((bp, 1), jnp.float32),
         ],
         interpret=interpret_mode(),
-    )(emb_p, w_p, lab_p[:, None])
-    return loss[:b, 0], mx, z
+    )(off, emb_p, w_p, lab_p[:, None])
+    return mx[:b], z[:b], t[:b]
 
 
-def _flash_bwd(emb, w, labels, mx, z, g_rows, m1, m2, m3, scale):
+def _flash_bwd(emb, w, labels, mx, z, g_rows, m1, m2, m3, scale, col_offset):
+    """(demb (B, D), dW (D, C)) given combined per-row (max, Z) and the
+    per-row loss cotangents ``g_rows`` (B,)."""
     emb_p, w_p, lab_p, (b, d, c, bp, dp, cp) = _pad_operands(emb, w, labels)
+    off = jnp.asarray(col_offset, jnp.int32).reshape(1)
+    mx_p = jnp.pad(mx.astype(jnp.float32), ((0, bp - b), (0, 0)))
+    z_p = jnp.pad(z.astype(jnp.float32), ((0, bp - b), (0, 0)),
+                  constant_values=1.0)
     g_p = jnp.pad(g_rows.astype(jnp.float32), (0, bp - b))[:, None]
     grid = (cp // _TC,)
     demb, dw = pl.pallas_call(
         functools.partial(_bwd_kernel, m1, m2, m3, scale, c),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((bp, dp), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dp, _TC), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -239,8 +255,13 @@ def _flash_bwd(emb, w, labels, mx, z, g_rows, m1, m2, m3, scale):
         ),
         scratch_shapes=[pltpu.VMEM((bp, dp), jnp.float32)],
         interpret=interpret_mode(),
-    )(emb_p, w_p, lab_p[:, None], mx, z, g_p)
+    )(off, emb_p, w_p, lab_p[:, None], mx_p, z_p, g_p)
     return demb[:b, :d], dw[:d, :c]
+
+
+# ---------------------------------------------------------------------------
+# single-device loss (custom VJP)
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -256,13 +277,16 @@ def flash_arcface_loss(
     """Mean combined-margin softmax CE over l2-NORMALIZED ``emb_n`` (B, D)
     and ``w_n`` (D, C). Normalize inputs first (XLA differentiates the
     normalization; the kernel handles the (B, C)-sized middle)."""
-    loss, _, _ = _flash_fwd(emb_n, w_n, labels, margin1, margin2, margin3, scale)
-    return jnp.mean(loss)
+    mx, z, t = _flash_partials(emb_n, w_n, labels, margin1, margin2, margin3,
+                               scale, 0)
+    return jnp.mean(jnp.log(z) + mx - t)
 
 
 def _vjp_fwd(emb_n, w_n, labels, margin1, margin2, margin3, scale):
-    loss, mx, z = _flash_fwd(emb_n, w_n, labels, margin1, margin2, margin3, scale)
-    return jnp.mean(loss), (emb_n, w_n, labels, mx, z)
+    mx, z, t = _flash_partials(emb_n, w_n, labels, margin1, margin2, margin3,
+                               scale, 0)
+    loss = jnp.mean(jnp.log(z) + mx - t)
+    return loss, (emb_n, w_n, labels, mx, z)
 
 
 def _vjp_bwd(margin1, margin2, margin3, scale, residuals, g):
@@ -270,9 +294,82 @@ def _vjp_bwd(margin1, margin2, margin3, scale, residuals, g):
     b = emb_n.shape[0]
     g_rows = jnp.full((b,), 1.0 / b) * g
     demb, dw = _flash_bwd(
-        emb_n, w_n, labels, mx, z, g_rows, margin1, margin2, margin3, scale
+        emb_n, w_n, labels, mx, z, g_rows, margin1, margin2, margin3, scale, 0
     )
     return demb, dw, None
 
 
 flash_arcface_loss.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# cross-shard (partial-FC) loss under shard_map
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_flash_arcface_loss(
+    mesh,
+    data_axis: str,
+    model_axis: str,
+    margin1: float = 1.0,
+    margin2: float = 0.5,
+    margin3: float = 0.0,
+    scale: float = 64.0,
+):
+    """Build loss(emb_n (B, D), w_n (D, C), labels (B,)) → scalar with the
+    classifier sharded over ``model_axis`` and the batch over
+    ``data_axis`` — exact softmax over the full identity set via
+    pmax/psum-combined flash partials, custom VJP through the combine."""
+
+    def _offset(w_local):
+        return jax.lax.axis_index(model_axis) * w_local.shape[1]
+
+    @jax.custom_vjp
+    def device_loss(emb_l, w_l, labels_l):
+        return _device_fwd(emb_l, w_l, labels_l)[0]
+
+    def _device_fwd(emb_l, w_l, labels_l):
+        m, z, t = _flash_partials(
+            emb_l, w_l, labels_l, margin1, margin2, margin3, scale,
+            _offset(w_l),
+        )
+        gm = jax.lax.pmax(m, model_axis)  # (b, 1) global max
+        gz = jax.lax.psum(z * jnp.exp(m - gm), model_axis)
+        gt = jax.lax.psum(t, model_axis)  # target lives in exactly one shard
+        rows = jnp.log(gz) + gm - gt
+        b_local = emb_l.shape[0]
+        n_global = b_local * jax.lax.psum(1, data_axis)
+        loss = jax.lax.psum(jnp.sum(rows), data_axis) / n_global
+        return loss, (emb_l, w_l, labels_l, gm, gz, n_global)
+
+    def _device_bwd(res, g):
+        emb_l, w_l, labels_l, gm, gz, n_global = res
+        b_local = emb_l.shape[0]
+        g_rows = jnp.full((b_local,), g / n_global)
+        demb_l, dw_l = _flash_bwd(
+            emb_l, w_l, labels_l, gm, gz, g_rows,
+            margin1, margin2, margin3, scale, _offset(w_l),
+        )
+        # each model shard contributes its columns' pullback to demb; each
+        # data shard its rows' pullback to this W shard. shard_map's
+        # custom-VJP transpose then averages each returned cotangent over
+        # the axes its input was replicated on — pre-scale by that axis
+        # size to compensate (calibrated empirically; every mesh shape is
+        # verified against the single-device kernel in tests).
+        demb = jax.lax.psum(demb_l, model_axis) * jax.lax.psum(1.0, data_axis)
+        dw = jax.lax.psum(dw_l, data_axis) * jax.lax.psum(1.0, model_axis)
+        return demb, dw, None
+
+    def _device_fwd_vjp(emb_l, w_l, labels_l):
+        loss, res = _device_fwd(emb_l, w_l, labels_l)
+        return loss, res
+
+    device_loss.defvjp(_device_fwd_vjp, _device_bwd)
+
+    return jax.shard_map(
+        device_loss,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(None, model_axis), P(data_axis)),
+        out_specs=P(),
+        check_vma=False,
+    )

@@ -190,19 +190,22 @@ def make_train_step(cfg: Config, mesh=None):
     t = cfg.train
     mode = t.mode
     data_axis = mesh.axis_names[0] if mesh is not None else None
-    if (
-        t.flash_ce
-        and mode in CLASSIFIER_MODES
-        and mesh is not None
-        and len(mesh.axis_names) > 1
-        and mesh.shape[mesh.axis_names[1]] > 1
-    ):
-        # cross-shard online-softmax combine for the Pallas kernel is a
-        # planned feature; today flash CE needs the classifier unsharded
-        raise NotImplementedError(
-            "flash_ce with model_parallel > 1 is not supported yet — "
-            "use the XLA margin softmax (flash_ce=False) for the "
-            "vocab-parallel classifier"
+    sharded_flash = None
+    if t.flash_ce and mode in CLASSIFIER_MODES and mesh is not None:
+        # cross-shard flash CE: each model shard runs the Pallas kernel
+        # over its identity range; partials combine with pmax/psum
+        # (ops/margin_softmax.make_sharded_flash_arcface_loss)
+        from deep_insight_face_tpu.ops.margin_softmax import (
+            make_sharded_flash_arcface_loss,
+        )
+
+        if mode == "cosface":
+            fm1, fm2, fm3 = 1.0, 0.0, 0.35
+        else:
+            fm1, fm2, fm3 = 1.0, t.arcface_margin, 0.0
+        sharded_flash = make_sharded_flash_arcface_loss(
+            mesh, mesh.axis_names[0], mesh.axis_names[1],
+            margin1=fm1, margin2=fm2, margin3=fm3, scale=t.arcface_scale,
         )
 
     def constrain_data(x):
@@ -249,8 +252,20 @@ def make_train_step(cfg: Config, mesh=None):
             )
             labels = batch["labels"]
             if mode in CLASSIFIER_MODES:
-                loss, extra = _classifier_loss(cfg, emb, params["classifier"]["kernel"], labels)
-                metrics.update(extra)
+                if sharded_flash is not None:
+                    kernel = params["classifier"]["kernel"]
+                    emb_n = emb / jnp.maximum(
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+                    )
+                    w_n = kernel / jnp.maximum(
+                        jnp.linalg.norm(kernel, axis=0, keepdims=True), 1e-12
+                    )
+                    loss = sharded_flash(emb_n, w_n, labels)
+                else:
+                    loss, extra = _classifier_loss(
+                        cfg, emb, params["classifier"]["kernel"], labels
+                    )
+                    metrics.update(extra)
             elif mode == "batch_hard":
                 loss = M.batch_hard_cosine_loss(labels, emb, t.margin)
             elif mode == "batch_hard_euclidean":

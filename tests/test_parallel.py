@@ -169,13 +169,60 @@ def test_flash_ce_train_step(rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
-def test_flash_ce_rejects_model_parallel(rng):
+def test_flash_ce_model_parallel_matches_xla_path(rng):
+    """Cross-shard flash CE (model_parallel=2) trains and matches the
+    XLA vocab-parallel margin softmax loss on the same state/batch."""
     import dataclasses
 
-    cfg = _tiny_cfg(mode="arcface", model_parallel=2)
-    cfg = dataclasses.replace(
+    cfg = _tiny_cfg(mode="arcface", model_parallel=2, num_classes=32)
+    mesh = create_mesh(cfg.mesh)
+    model = build_embedding_model(cfg.model)
+    batch = _batch(rng, cfg)
+
+    cfg_flash = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, flash_ce=True)
     )
-    mesh = create_mesh(cfg.mesh)
-    with pytest.raises(NotImplementedError):
-        make_train_step(cfg, mesh)
+    state_f = create_train_state(model, cfg_flash, jax.random.key(0), mesh=mesh)
+    step_f = make_train_step(cfg_flash, mesh)
+    state_f, metrics_f = step_f(state_f, batch)
+
+    state_x = create_train_state(model, cfg, jax.random.key(0), mesh=mesh)
+    step_x = make_train_step(cfg, mesh)
+    state_x, metrics_x = step_x(state_x, batch)
+
+    assert float(metrics_f["loss"]) == pytest.approx(
+        float(metrics_x["loss"]), rel=1e-3
+    )
+    # parameters after the step agree too (same grads through both paths)
+    ka = np.asarray(state_f.params["classifier"]["kernel"])
+    kb = np.asarray(state_x.params["classifier"]["kernel"])
+    np.testing.assert_allclose(ka, kb, atol=5e-4)
+
+
+def test_sharded_flash_grads_match_single_device(rng):
+    from deep_insight_face_tpu.ops.margin_softmax import (
+        flash_arcface_loss,
+        make_sharded_flash_arcface_loss,
+    )
+
+    b, d, c = 16, 32, 128
+    emb = rng.normal(size=(b, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    w = rng.normal(size=(d, c)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=0, keepdims=True)
+    labels = jnp.array(rng.integers(0, c, b).astype(np.int32))
+    g_si = jax.grad(
+        lambda e, ww: flash_arcface_loss(e, ww, labels), argnums=(0, 1)
+    )(jnp.array(emb), jnp.array(w))
+    for shape in [(4, 2), (2, 4), (8, 1)]:
+        mesh = jax.make_mesh(shape, ("data", "model"))
+        fn = make_sharded_flash_arcface_loss(mesh, "data", "model")
+        g_sh = jax.jit(jax.grad(fn, argnums=(0, 1)))(
+            jnp.array(emb), jnp.array(w), labels
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_sh[0]), np.asarray(g_si[0]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_sh[1]), np.asarray(g_si[1]), atol=1e-5
+        )
