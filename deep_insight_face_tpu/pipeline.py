@@ -134,6 +134,86 @@ def build_pipeline(
     return jax.jit(run) if jit else run
 
 
+class MultiFaceOutput(NamedTuple):
+    embeddings: jnp.ndarray  # (N, max_boxes, D)
+    boxes: jnp.ndarray  # (N, max_boxes, 4)
+    scores: jnp.ndarray  # (N, max_boxes)
+    valid: jnp.ndarray  # (N, max_boxes) bool
+
+
+def build_multiface_pipeline(
+    cfg: Config,
+    embed_model: EmbeddingModel,
+    detector_model: Optional[YoloV3] = None,
+    jit: bool = True,
+):
+    """All-faces variant: embeds every valid detection (up to
+    ``detector.max_boxes`` per image) instead of the single best face —
+    the serving path behind api.face_encodings for crowd frames
+    (reference intent: detect_multiple_faces=True, detector/run.py:146).
+    Invalid slots embed a zero crop; mask with ``valid``.
+    """
+    det_cfg = cfg.detector
+    if detector_model is None:
+        detector_model, anchor_masks = make_detector_model(det_cfg)
+    else:
+        anchor_masks = (
+            TINY_ANCHOR_MASKS
+            if isinstance(detector_model, YoloV3Tiny)
+            else det_cfg.anchor_masks
+        )
+    anchors = jnp.asarray(np.array(det_cfg.anchors, np.float32))
+    out_size = cfg.model.image_size
+    mb = det_cfg.max_boxes
+
+    def run(detector_vars, embed_vars, images) -> MultiFaceOutput:
+        n, h, w, _ = images.shape
+        x = images.astype(jnp.float32)
+        boxed, meta = letterbox(x, det_cfg.input_size)
+        heads = detector_model.apply(detector_vars, boxed / 255.0, train=False)
+        raw_boxes, raw_scores = decode_detections(
+            heads, anchors, anchor_masks, det_cfg.num_classes,
+            det_cfg.input_size,
+        )
+
+        def per_image(b, s):
+            ob, os_, valid = non_max_suppression(
+                b, s, max_boxes=mb,
+                iou_threshold=det_cfg.iou_threshold,
+                score_threshold=det_cfg.score_threshold,
+            )
+            return correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w)), os_, valid
+
+        boxes, scores, valid = jax.vmap(per_image)(raw_boxes, raw_scores[..., 0])
+
+        m = float(det_cfg.bbox_margin)
+        expanded = jnp.stack(
+            [
+                boxes[..., 0] - m / 2,
+                boxes[..., 1] - m / 2,
+                boxes[..., 2] + m / 2,
+                boxes[..., 3] + m / 2,
+            ],
+            axis=-1,
+        )  # (N, mb, 4)
+        # flatten faces: repeat each image for its box slots
+        imgs_rep = jnp.repeat(x, mb, axis=0)  # (N·mb, H, W, C)
+        crops = crop_resize_boxes(
+            imgs_rep, expanded.reshape(-1, 4), (out_size, out_size)
+        )
+        emb = embed_model.apply(
+            embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False
+        )
+        return MultiFaceOutput(
+            embeddings=emb.reshape(n, mb, -1),
+            boxes=boxes,
+            scores=scores,
+            valid=valid,
+        )
+
+    return jax.jit(run) if jit else run
+
+
 def build_benchmark_fn(
     cfg: Config,
     embed_model: EmbeddingModel,

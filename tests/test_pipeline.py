@@ -81,3 +81,17 @@ def test_benchmark_fn_runs(small_cfg, pipeline_setup, rng):
     ).astype(jnp.float32)
     out = float(bench(dv, ev, imgs))
     assert np.isfinite(out)
+
+
+def test_multiface_pipeline(small_cfg, pipeline_setup, rng):
+    from deep_insight_face_tpu.pipeline import build_multiface_pipeline
+
+    em, ev, dm, dv = pipeline_setup
+    run = build_multiface_pipeline(small_cfg, em, dm)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8))
+    out = run(dv, ev, imgs)
+    mb = small_cfg.detector.max_boxes
+    assert out.embeddings.shape == (2, mb, 16)
+    assert out.boxes.shape == (2, mb, 4)
+    assert out.valid.shape == (2, mb)
+    assert np.isfinite(np.asarray(out.embeddings)).all()
