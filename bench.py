@@ -46,7 +46,7 @@ def main() -> None:
     # serving-tier detector (tiny YOLOv3): the full Darknet-53 detector at
     # 66 GFLOP/img caps throughput below the 5k target on v5e physics
     # alone; both variants ship, this benchmarks the deployment config
-    cfg = cfg.replace(detector=dataclasses.replace(cfg.detector, variant="tiny"))
+    cfg = cfg.replace(detector=dataclasses.replace(cfg.detector, variant="tiny_s2d"))
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     platform = jax.devices()[0].platform
     chain = 8 if platform == "tpu" else 2  # chained steps inside the jit

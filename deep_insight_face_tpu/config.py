@@ -53,7 +53,7 @@ class DetectorConfig:
     detector/yolo_cfg/yolo_anchors.txt).
     """
 
-    variant: str = "full"  # full (Darknet-53, accuracy tier) | tiny (serving tier)
+    variant: str = "full"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem)
     input_size: int = 416
     max_boxes: int = 20
     score_threshold: float = 0.4

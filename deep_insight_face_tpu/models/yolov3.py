@@ -127,6 +127,11 @@ class YoloV3Tiny(nn.Module):
 
     num_classes: int = 1
     anchors_per_scale: int = 3
+    # Replace the 416²×16-channel stem conv with pixel-unshuffle(2) + a
+    # 32-channel conv at 208²: the original stem fills ~3% of the MXU
+    # (K=27, N=16 against 128×128 tiles) and dominates effective cost.
+    # Not weight-compatible with darknet tiny files (train from scratch).
+    space_to_depth: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -136,8 +141,14 @@ class YoloV3Tiny(nn.Module):
         out_ch = self.anchors_per_scale * (5 + self.num_classes)
         x = x.astype(self.dtype)
         feats = []
-        c = 16
-        for i in range(5):
+        if self.space_to_depth:
+            n, h, w, c0 = x.shape
+            x = x.reshape(n, h // 2, 2, w // 2, 2, c0)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c0)
+            first, c = 1, 32  # one conv level replaced by the unshuffle
+        else:
+            first, c = 0, 16
+        for i in range(first, 5):
             x = _DarkConv(c, 3, name=f"conv{i}", **kw)(x, train)
             if i == 4:
                 feats.append(x)  # stride-16 route (256 ch)

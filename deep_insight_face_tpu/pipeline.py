@@ -40,6 +40,11 @@ def make_detector_model(det_cfg) -> Tuple[object, Tuple]:
     """(model, anchor_masks) for the configured detector variant."""
     if det_cfg.variant == "tiny":
         return YoloV3Tiny(num_classes=det_cfg.num_classes), TINY_ANCHOR_MASKS
+    if det_cfg.variant == "tiny_s2d":
+        return (
+            YoloV3Tiny(num_classes=det_cfg.num_classes, space_to_depth=True),
+            TINY_ANCHOR_MASKS,
+        )
     return YoloV3(num_classes=det_cfg.num_classes), det_cfg.anchor_masks
 
 
