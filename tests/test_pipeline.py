@@ -95,3 +95,16 @@ def test_multiface_pipeline(small_cfg, pipeline_setup, rng):
     assert out.boxes.shape == (2, mb, 4)
     assert out.valid.shape == (2, mb)
     assert np.isfinite(np.asarray(out.embeddings)).all()
+
+
+def test_tiny_s2d_variant(rng):
+    from deep_insight_face_tpu.models.yolov3 import YoloV3Tiny
+
+    tiny_s2d, masks = make_detector_model(DetectorConfig(variant="tiny_s2d"))
+    assert isinstance(tiny_s2d, YoloV3Tiny) and tiny_s2d.space_to_depth
+    m = YoloV3Tiny(num_classes=1, space_to_depth=True, dtype=jnp.float32)
+    v = m.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    h13, h26 = m.apply(v, jnp.zeros((2, 128, 128, 3)))
+    # same head geometry as the standard tiny model
+    assert h13.shape == (2, 4, 4, 18)
+    assert h26.shape == (2, 8, 8, 18)
