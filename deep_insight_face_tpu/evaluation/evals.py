@@ -129,6 +129,41 @@ def evaluate_bin(
     )
 
 
+def pair_details_to_csv(
+    path: str,
+    pair_paths: Sequence[str],
+    embeddings: np.ndarray,
+    issame: Sequence[bool],
+    threshold: float,
+    distance_metric: int = 0,
+) -> int:
+    """Per-pair prediction detail export: both file paths, distance,
+    ground truth, prediction, and TP/FP/TN/FN tag — the intent of the
+    reference's result_to_csv (reference: evaluation/evals.py:91-125,
+    whose writer loop references undefined names). Returns row count."""
+    from deep_insight_face_tpu.evaluation.verification import pair_distances
+
+    e1, e2 = embeddings[0::2], embeddings[1::2]
+    dist = pair_distances(e1, e2, distance_metric)
+    pred = dist < threshold
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["path_a", "path_b", "distance", "is_same", "predicted_same",
+                    "outcome"])
+        for i, same in enumerate(issame):
+            outcome = (
+                "TP" if (pred[i] and same) else
+                "FP" if pred[i] else
+                "FN" if same else "TN"
+            )
+            w.writerow([
+                pair_paths[2 * i], pair_paths[2 * i + 1],
+                float(dist[i]), bool(same), bool(pred[i]), outcome,
+            ])
+    return len(issame)
+
+
 def report_to_csv(report: VerificationReport, path: str) -> None:
     """Detailed CSV export (reference: evals.py:91-125 result_to_csv)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

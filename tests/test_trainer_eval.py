@@ -120,3 +120,21 @@ def test_embed_paths_flip_fusion(dataset_dir):
     out = embed_paths(embed_fn, paths, image_size=24, batch_size=4, use_flipped=True)
     assert out.shape == (5, 8)
     assert len(calls) == 4  # 2 batches × (orig + flipped)
+
+
+def test_pair_details_csv(tmp_path, rng):
+    from deep_insight_face_tpu.evaluation.evals import pair_details_to_csv
+
+    n = 6
+    emb = rng.normal(size=(2 * n, 8))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    paths = [f"/x/img{i}.jpg" for i in range(2 * n)]
+    issame = [True, False, True, False, True, False]
+    out = tmp_path / "details.csv"
+    rows = pair_details_to_csv(str(out), paths, emb, issame, threshold=1.0)
+    assert rows == n
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("path_a,path_b")
+    assert len(lines) == n + 1
+    outcomes = {l.split(",")[-1] for l in lines[1:]}
+    assert outcomes <= {"TP", "FP", "TN", "FN"}
