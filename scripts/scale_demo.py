@@ -24,7 +24,7 @@ for r in range(3):
     _ = np.asarray(idx[:1])
     best = min(best, time.perf_counter() - t0)
 print(f"gallery 1M ids: {M} queries in {best*1000:.1f} ms "
-      f"({M/best:.0f} queries/s, {M*N/best/1e12:.1f} Tcomparisons/s)", flush=True)
+      f"({M/best:.0f} queries/s, {M*N/best/1e12:.2f} Tcomp/s)", flush=True)
 
 # --- flash CE at 1M classes ------------------------------------------------
 from deep_insight_face_tpu.ops.margin_softmax import flash_arcface_loss
