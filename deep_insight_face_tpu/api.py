@@ -275,6 +275,32 @@ class FaceRecognition:
         return list(self.encode_crops(np.stack(aligned)))
 
 
+    def face_encodings_batch(self, images: np.ndarray):
+        """High-throughput batch path: one fused jitted program
+        (detect → NMS → align → embed) over an equal-size uint8 batch —
+        the serving pipeline behind bench.py (≈10.9k faces/sec/chip on
+        v5e). Returns (embeddings (N, D), boxes (N, 4), found (N,) bool);
+        rows with ``found == False`` hold the best-effort crop embedding.
+        """
+        from deep_insight_face_tpu.pipeline import build_pipeline
+
+        images = np.asarray(images)
+        key = ("pipeline", images.shape[1:3])
+        if not hasattr(self, "_pipelines"):
+            self._pipelines = {}
+        if key not in self._pipelines:
+            self._pipelines[key] = build_pipeline(
+                self.cfg, self.model, self.detector.model
+            )
+        out = self._pipelines[key](
+            self.detector.variables, self.embed_variables, jnp.asarray(images)
+        )
+        return (
+            np.asarray(out.embeddings),
+            np.asarray(out.boxes),
+            np.asarray(out.found),
+        )
+
     # -- gallery verification ------------------------------------------------
 
     def verify_identity(

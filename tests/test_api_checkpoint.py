@@ -53,3 +53,19 @@ def test_from_checkpoint_roundtrip(tmp_path, rng):
 def test_from_checkpoint_missing(tmp_path):
     with pytest.raises(FileNotFoundError):
         FaceRecognition.from_checkpoint(str(tmp_path / "nope"), cfg=_cfg(tmp_path))
+
+
+def test_face_encodings_batch(tmp_path, rng):
+    cfg = _cfg(tmp_path)
+    from deep_insight_face_tpu.api import FaceRecognition
+
+    fr = FaceRecognition(cfg=cfg)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    emb, boxes, found = fr.face_encodings_batch(imgs)
+    assert emb.shape == (2, cfg.model.embedding_size)
+    assert boxes.shape == (2, 4)
+    assert found.shape == (2,)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+    # pipeline is cached per geometry
+    emb2, _, _ = fr.face_encodings_batch(imgs)
+    np.testing.assert_allclose(emb, emb2, atol=1e-6)
