@@ -153,3 +153,11 @@ def distance_to_probability(
     gauss = jnp.exp(-distance / (2.0 * tuning_factor**2))
     recip = 1.0 / (1.0 + distance)
     return jnp.where(distance <= tolerance, gauss, recip)
+
+
+def calc_mean_score(score_dist: jnp.ndarray) -> jnp.ndarray:
+    """Normalize a 10-bucket score distribution and return its mean score
+    (reference: networks/utils.py:31-39)."""
+    s = jnp.asarray(score_dist, jnp.float32)
+    s = s / jnp.sum(s)
+    return jnp.sum(s * jnp.arange(1, s.shape[-1] + 1))

@@ -189,3 +189,25 @@ def test_yolo_model_and_detector_end_to_end(rng):
     for crop, bb in zip(crops, bbs):
         assert crop.ndim == 3
         assert bb.shape == (4,)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_nms_randomized_stress(seed):
+    """Randomized NMS edge cases vs the python oracle: few boxes,
+    duplicates, all-below-threshold, degenerate boxes."""
+    r = np.random.default_rng(seed)
+    n = int(r.integers(1, 40))
+    boxes, scores = _random_boxes(r, n=n)
+    if seed == 1:  # exact duplicates
+        boxes = np.resize(boxes[: max(n // 2, 1)], (n, 4))
+    if seed == 2:  # degenerate zero-area boxes mixed in
+        boxes[: n // 3, 2] = boxes[: n // 3, 0]
+    thr = float(r.uniform(0.2, 0.8))
+    score_thr = 0.95 if seed == 3 else 0.0  # nearly everything filtered
+    ob, os_, valid = N.non_max_suppression(
+        jnp.array(boxes), jnp.array(scores), max_boxes=10,
+        iou_threshold=thr, score_threshold=score_thr,
+    )
+    want = _py_nms(boxes, scores, 10, thr, score_thr)
+    got = np.asarray(ob)[np.asarray(valid)]
+    np.testing.assert_allclose(got, boxes[want], atol=1e-5)

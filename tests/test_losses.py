@@ -225,3 +225,10 @@ def test_normalized_mean_error(rng):
     iod = np.linalg.norm(np.asarray(target)[:, 45] - np.asarray(target)[:, 36], axis=-1)
     want = np.mean(np.sqrt(50.0) / iod)
     assert nme == pytest.approx(want, rel=1e-4)
+
+
+def test_calc_mean_score():
+    s = np.zeros(10); s[4] = 2.0  # all mass on bucket 5
+    assert float(L.calc_mean_score(jnp.array(s))) == pytest.approx(5.0)
+    uniform = np.ones(10)
+    assert float(L.calc_mean_score(jnp.array(uniform))) == pytest.approx(5.5)
