@@ -1,0 +1,176 @@
+"""YOLOv3 training loss + static-shape anchor/target assignment.
+
+The reference never trains its detector — it only converts pre-trained
+Darknet weights (reference: scripts/yolo_convert_tf.py). This module
+makes the detector family trainable end-to-end on TPU: classic YOLOv3
+multi-part loss (BCE objectness with ignore region, BCE xy, MSE wh,
+BCE class) with the standard best-anchor assignment, written with fully
+static shapes: ground truth arrives padded to ``max_boxes`` with a valid
+mask, and assignment scatters into dense per-scale target tensors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _wh_iou(wh1: jnp.ndarray, wh2: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) IoU of centered boxes given widths/heights only."""
+    inter = jnp.minimum(wh1[:, None, 0], wh2[None, :, 0]) * jnp.minimum(
+        wh1[:, None, 1], wh2[None, :, 1]
+    )
+    a1 = wh1[:, 0] * wh1[:, 1]
+    a2 = wh2[:, 0] * wh2[:, 1]
+    return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, 1e-9)
+
+
+def build_targets(
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchors: jnp.ndarray,
+    anchor_masks: Sequence[Sequence[int]],
+    input_size: int,
+    grid_sizes: Sequence[int],
+) -> List[Dict[str, jnp.ndarray]]:
+    """Dense training targets per scale.
+
+    ``gt_boxes``: (B, G, 4) pixel x1y1x2y2, padded; ``gt_valid``: (B, G)
+    bool. Each gt is assigned to its best-IoU anchor (over all 9) and the
+    center cell at that anchor's scale. Returns per scale:
+    {"txy": (B,g,g,A,2) in-cell offsets, "twh": (B,g,g,A,2) log-ratios,
+     "obj": (B,g,g,A), "wh_px": (B,g,g,A,2) for loss weighting}.
+    """
+    b, g_max, _ = gt_boxes.shape
+    cx = (gt_boxes[..., 0] + gt_boxes[..., 2]) / 2.0
+    cy = (gt_boxes[..., 1] + gt_boxes[..., 3]) / 2.0
+    w = jnp.maximum(gt_boxes[..., 2] - gt_boxes[..., 0], 1e-3)
+    h = jnp.maximum(gt_boxes[..., 3] - gt_boxes[..., 1], 1e-3)
+
+    wh_flat = jnp.stack([w, h], -1).reshape(-1, 2)
+    best_anchor = jnp.argmax(_wh_iou(wh_flat, anchors), axis=1).reshape(b, g_max)
+
+    targets = []
+    for scale_idx, (mask, gsize) in enumerate(zip(anchor_masks, grid_sizes)):
+        mask = list(mask)
+        a = len(mask)
+        stride = input_size / gsize
+        # which gts belong to this scale (their best anchor ∈ mask)
+        local_idx = jnp.full_like(best_anchor, -1)
+        for local, global_a in enumerate(mask):
+            local_idx = jnp.where(best_anchor == global_a, local, local_idx)
+        on_scale = (local_idx >= 0) & gt_valid
+
+        col = jnp.clip((cx / stride).astype(jnp.int32), 0, gsize - 1)
+        row = jnp.clip((cy / stride).astype(jnp.int32), 0, gsize - 1)
+        txy = jnp.stack([cx / stride - col, cy / stride - row], -1)
+        scale_anchors = anchors[jnp.asarray(mask)]
+        anchor_wh = scale_anchors[jnp.clip(local_idx, 0, a - 1)]  # (B, G, 2)
+        twh = jnp.log(jnp.maximum(jnp.stack([w, h], -1) / anchor_wh, 1e-9))
+
+        zeros = lambda *sh: jnp.zeros((b, gsize, gsize, a) + tuple(sh))
+        t = {
+            "txy": zeros(2), "twh": zeros(2), "obj": zeros(), "wh_px": zeros(2),
+        }
+        batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, g_max))
+        safe_local = jnp.clip(local_idx, 0, a - 1)
+        sel = on_scale.astype(jnp.float32)
+
+        def scatter(tensor, values):
+            # masked scatter: invalid entries write zeros at cell (0,0,0),
+            # then get multiplied out by writing obj only where sel=1
+            return tensor.at[
+                batch_idx, row, col, safe_local
+            ].add(values * sel[..., None] if values.ndim == 3 else values * sel)
+
+        t["txy"] = scatter(t["txy"], txy)
+        t["twh"] = scatter(t["twh"], twh)
+        t["obj"] = scatter(t["obj"], jnp.ones_like(sel))
+        t["wh_px"] = scatter(t["wh_px"], jnp.stack([w, h], -1))
+        # clamp multiple-assignment collisions
+        t["obj"] = jnp.minimum(t["obj"], 1.0)
+        targets.append(t)
+    return targets
+
+
+def yolo_scale_loss(
+    head: jnp.ndarray,
+    target: Dict[str, jnp.ndarray],
+    anchors_scale: jnp.ndarray,
+    input_size: int,
+    num_classes: int = 1,
+    obj_weight: float = 1.0,
+    noobj_weight: float = 0.5,
+    box_weight: float = 5.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss for one detection scale; head (B, g, g, A·(5+nc))."""
+    b, g, _, _ = head.shape
+    a = anchors_scale.shape[0]
+    raw = head.reshape(b, g, g, a, 5 + num_classes)
+    obj_t = target["obj"]
+    pos = obj_t > 0.5
+
+    # coordinate losses only at positive cells; small boxes weighted up
+    wh_px = target["wh_px"]
+    box_scale = 2.0 - (wh_px[..., 0] * wh_px[..., 1]) / float(input_size**2)
+    box_scale = jnp.where(pos, box_scale, 0.0)
+
+    xy_bce = optax_sigmoid_bce(raw[..., 0:2], target["txy"])
+    xy_loss = jnp.sum(jnp.sum(xy_bce, -1) * box_scale)
+
+    wh_err = jnp.square(raw[..., 2:4] - target["twh"])
+    wh_loss = jnp.sum(jnp.sum(wh_err, -1) * box_scale)
+
+    obj_bce = optax_sigmoid_bce(raw[..., 4], obj_t)
+    obj_loss = jnp.sum(jnp.where(pos, obj_weight * obj_bce, noobj_weight * obj_bce))
+
+    if num_classes > 1:
+        cls_bce = optax_sigmoid_bce(raw[..., 5:], jnp.ones_like(raw[..., 5:]))
+        cls_loss = jnp.sum(jnp.sum(cls_bce, -1) * obj_t)
+    else:  # single class: supervise the class logit at positives
+        cls_loss = jnp.sum(optax_sigmoid_bce(raw[..., 5], obj_t) * obj_t)
+
+    n_pos = jnp.maximum(jnp.sum(obj_t), 1.0)
+    total = (box_weight * (xy_loss + wh_loss) + obj_loss + cls_loss) / (b * 1.0)
+    return total, {
+        "xy": xy_loss / n_pos, "wh": wh_loss / n_pos,
+        "obj": obj_loss / b, "n_pos": n_pos,
+    }
+
+
+def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable BCE with logits."""
+    return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def yolo_loss(
+    heads: Sequence[jnp.ndarray],
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    anchors: jnp.ndarray,
+    anchor_masks: Sequence[Sequence[int]],
+    input_size: int,
+    num_classes: int = 1,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Total multi-scale YOLOv3 loss."""
+    grid_sizes = [h.shape[1] for h in heads]
+    targets = build_targets(
+        gt_boxes, gt_valid, anchors, anchor_masks, input_size, grid_sizes
+    )
+    total = jnp.float32(0.0)
+    metrics: Dict[str, jnp.ndarray] = {}
+    for i, (head, t, mask) in enumerate(zip(heads, targets, anchor_masks)):
+        l, m = yolo_scale_loss(
+            head, t, anchors[jnp.asarray(list(mask))], input_size, num_classes
+        )
+        total = total + l
+        metrics[f"scale{i}_obj"] = m["obj"]
+        metrics[f"scale{i}_npos"] = m["n_pos"]
+    metrics["loss"] = total
+    return total, metrics

@@ -1,0 +1,95 @@
+"""Detector training: target assignment semantics + synthetic overfit."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_insight_face_tpu.config import DetectorConfig
+from deep_insight_face_tpu.detector.loss import build_targets, yolo_loss
+from deep_insight_face_tpu.detector.train import (
+    create_detector_state,
+    make_detector_train_step,
+)
+from deep_insight_face_tpu.models.yolov3 import TINY_ANCHOR_MASKS, YoloV3Tiny
+
+
+def _anchors():
+    return jnp.asarray(np.array(DetectorConfig().anchors, np.float32))
+
+
+def test_build_targets_assignment():
+    # one 100×100 box centered at (200, 200) in a 416 image → best anchor
+    # is (116, 90) (global idx 6) → coarse scale, cell (6, 6) at stride 32
+    boxes = jnp.array([[[150.0, 150.0, 250.0, 250.0]]])
+    valid = jnp.array([[True]])
+    targets = build_targets(
+        boxes, valid, _anchors(), TINY_ANCHOR_MASKS, 416, [13, 26]
+    )
+    t13 = targets[0]
+    assert float(t13["obj"].sum()) == 1.0
+    assert float(targets[1]["obj"].sum()) == 0.0
+    pos = np.argwhere(np.asarray(t13["obj"][0]) > 0.5)
+    assert pos.shape == (1, 3)
+    row, col, a = pos[0]
+    assert (row, col) == (6, 6)
+    assert a == 0  # local index of global anchor 6 in mask (6,7,8)
+    # in-cell offsets: center 200/32 = 6.25 → offset 0.25
+    np.testing.assert_allclose(
+        np.asarray(t13["txy"][0, row, col, a]), [0.25, 0.25], atol=1e-5
+    )
+    # twh = log(100/anchor)
+    np.testing.assert_allclose(
+        np.asarray(t13["twh"][0, row, col, a]),
+        [np.log(100 / 116), np.log(100 / 90)], atol=1e-5,
+    )
+
+
+def test_build_targets_invalid_ignored():
+    boxes = jnp.array([[[150.0, 150.0, 250.0, 250.0]]])
+    valid = jnp.array([[False]])
+    targets = build_targets(
+        boxes, valid, _anchors(), TINY_ANCHOR_MASKS, 416, [13, 26]
+    )
+    assert float(sum(t["obj"].sum() for t in targets)) == 0.0
+
+
+def test_yolo_loss_finite_and_positive(rng):
+    heads = [
+        jnp.asarray(rng.normal(size=(2, 13, 13, 18)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, 26, 26, 18)).astype(np.float32)),
+    ]
+    boxes = jnp.asarray(
+        rng.uniform(50, 350, (2, 4, 4)).astype(np.float32)
+    )
+    boxes = boxes.at[..., 2:].set(boxes[..., :2] + 60.0)
+    valid = jnp.ones((2, 4), bool)
+    loss, metrics = yolo_loss(
+        heads, boxes, valid, _anchors(), TINY_ANCHOR_MASKS, 416
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert float(metrics["scale0_npos"] + metrics["scale1_npos"]) >= 1
+
+
+def test_detector_training_overfits_synthetic(rng):
+    """Loss decreases training the s2d tiny detector on one fixed scene."""
+    cfg = DetectorConfig(variant="tiny_s2d", input_size=128)
+    model = YoloV3Tiny(num_classes=1, space_to_depth=True, dtype=jnp.float32)
+    state = create_detector_state(model, cfg, jax.random.key(0),
+                                  learning_rate=1e-3, input_size=128)
+    step = make_detector_train_step(cfg, TINY_ANCHOR_MASKS, input_size=128)
+
+    img = np.zeros((1, 128, 128, 3), np.float32)
+    img[0, 40:90, 30:80] = 1.0  # a bright square "face"
+    batch = {
+        "images": jnp.asarray(img),
+        "boxes": jnp.array([[[30.0, 40.0, 80.0, 90.0]]]),
+        "valid": jnp.array([[True]]),
+    }
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
