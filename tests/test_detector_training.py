@@ -93,3 +93,41 @@ def test_detector_training_overfits_synthetic(rng):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+
+@pytest.mark.slow
+def test_train_detect_ap_loop(rng):
+    """Full loop: overfit two synthetic scenes → run the jitted detector
+    core → NMS boxes → detection AP on the training scenes improves to
+    a usable level."""
+    from deep_insight_face_tpu.detector.runner import FaceDetector
+    from deep_insight_face_tpu.detector.utility import evaluate_detections
+
+    cfg = DetectorConfig(variant="tiny_s2d", input_size=128,
+                         score_threshold=0.3)
+    model = YoloV3Tiny(num_classes=1, space_to_depth=True, dtype=jnp.float32)
+    state = create_detector_state(model, cfg, jax.random.key(1),
+                                  learning_rate=2e-3, input_size=128)
+    step = make_detector_train_step(cfg, TINY_ANCHOR_MASKS, input_size=128)
+
+    scenes = np.zeros((2, 128, 128, 3), np.float32)
+    scenes[0, 40:90, 30:80] = 1.0
+    scenes[1, 10:60, 60:110] = 0.8
+    gts = np.array([[[30.0, 40.0, 80.0, 90.0]], [[60.0, 10.0, 110.0, 60.0]]])
+    batch = {
+        "images": jnp.asarray(scenes),
+        "boxes": jnp.asarray(gts),
+        "valid": jnp.ones((2, 1), bool),
+    }
+    for _ in range(120):
+        state, metrics = step(state, batch)
+
+    det = FaceDetector(
+        {"params": state.params, "batch_stats": state.batch_stats}, cfg, model
+    )
+    results = det.detect_batch((scenes * 255).astype(np.uint8))
+    pred_boxes = [r.boxes[r.valid] for r in results]
+    pred_scores = [r.scores[r.valid] for r in results]
+    out = evaluate_detections(pred_boxes, pred_scores,
+                              [g for g in gts], iou_threshold=0.4)
+    assert out["ap"] > 0.4, out
