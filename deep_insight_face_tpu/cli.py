@@ -147,6 +147,42 @@ def cmd_convert_weights(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train_detector(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.config import DetectorConfig
+    from deep_insight_face_tpu.detector.data import (
+        DetectorSampler,
+        read_box_annotations,
+    )
+    from deep_insight_face_tpu.detector.train import (
+        create_detector_state,
+        make_detector_train_step,
+    )
+    from deep_insight_face_tpu.pipeline import make_detector_model
+    from deep_insight_face_tpu.utils.weights import save_npz
+
+    cfg = DetectorConfig(variant=args.variant, input_size=args.input_size)
+    model, masks = make_detector_model(cfg)
+    state = create_detector_state(model, cfg, jax.random.key(args.seed),
+                                  learning_rate=args.lr)
+    step = make_detector_train_step(cfg, masks)
+
+    ann = read_box_annotations(args.annotations)
+    sampler = iter(DetectorSampler(ann, args.batch_size, cfg.input_size,
+                                   cfg.max_boxes, seed=args.seed))
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(sampler).items()}
+        state, metrics = step(state, batch)
+        if (i + 1) % max(args.steps // 10, 1) == 0:
+            print(f"step {i + 1}/{args.steps} loss {float(metrics['loss']):.4f}")
+    save_npz(args.output, {"params": state.params,
+                           "batch_stats": state.batch_stats})
+    print(f"saved detector weights → {args.output}")
+    return 0
+
+
 def cmd_demo(args: argparse.Namespace) -> int:
     import numpy as np
 
@@ -231,6 +267,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--num-classes", type=int, default=1)
     c.add_argument("--input-size", type=int, default=416)
     c.set_defaults(fn=cmd_convert_weights)
+
+    td = sub.add_parser("train-detector", help="train a YOLO face detector")
+    td.add_argument("--annotations", required=True,
+                    help="CSV: path,x1,y1,x2,y2 (one row per box)")
+    td.add_argument("--variant", default="tiny_s2d",
+                    choices=["full", "tiny", "tiny_s2d"])
+    td.add_argument("--input-size", type=int, default=416)
+    td.add_argument("--batch-size", type=int, default=16)
+    td.add_argument("--steps", type=int, default=1000)
+    td.add_argument("--lr", type=float, default=1e-3)
+    td.add_argument("--seed", type=int, default=0)
+    td.add_argument("--output", default="detector_weights.npz")
+    td.set_defaults(fn=cmd_train_detector)
 
     d = sub.add_parser("demo", help="detect+embed faces in one image")
     d.add_argument("image")

@@ -131,3 +131,41 @@ def test_train_detect_ap_loop(rng):
     out = evaluate_detections(pred_boxes, pred_scores,
                               [g for g in gts], iou_threshold=0.4)
     assert out["ap"] > 0.4, out
+
+
+def test_detector_sampler_and_cli(tmp_path, rng):
+    from PIL import Image
+
+    from deep_insight_face_tpu.cli import main
+    from deep_insight_face_tpu.detector.data import (
+        DetectorSampler, read_box_annotations,
+    )
+
+    # build a tiny annotated dataset
+    for i in range(3):
+        img = np.zeros((64, 80, 3), np.uint8)
+        img[10:40, 20:60] = 255
+        Image.fromarray(img).save(tmp_path / f"img{i}.jpg")
+    csv_path = tmp_path / "boxes.csv"
+    csv_path.write_text(
+        "path,x1,y1,x2,y2\n"
+        + "\n".join(f"img{i}.jpg,20,10,60,40" for i in range(3))
+    )
+
+    ann = read_box_annotations(str(csv_path))
+    assert len(ann) == 3
+    s = DetectorSampler(ann, batch_size=2, input_size=32, max_boxes=4, seed=0)
+    b = next(iter(s))
+    assert b["images"].shape == (2, 32, 32, 3)
+    assert b["boxes"].shape == (2, 4, 4)
+    assert b["valid"].sum() == 2
+    # boxes scaled: x by 32/80, y by 32/64
+    np.testing.assert_allclose(b["boxes"][0, 0], [8.0, 5.0, 24.0, 20.0])
+
+    out = tmp_path / "det.npz"
+    rc = main([
+        "train-detector", "--annotations", str(csv_path),
+        "--variant", "tiny_s2d", "--input-size", "64", "--batch-size", "2",
+        "--steps", "3", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists()
