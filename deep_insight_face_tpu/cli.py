@@ -183,6 +183,42 @@ def cmd_train_detector(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train_landmarks(args: argparse.Namespace) -> int:
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+    from deep_insight_face_tpu.training.landmark import (
+        load_landmark_npz,
+        train_landmarks,
+    )
+    from deep_insight_face_tpu.utils.weights import save_npz
+
+    data = load_landmark_npz(args.data)
+    imgs = data["images"].astype("float32")
+    lms = data["landmarks"]
+    n = len(imgs)
+
+    def batches():
+        import numpy as _np
+
+        r = _np.random.default_rng(args.seed)
+        while True:
+            idx = r.integers(0, n, args.batch_size)
+            yield {"images": jnp.asarray(imgs[idx]),
+                   "landmarks": jnp.asarray(lms[idx])}
+
+    model = LandmarkNet()
+    state, history = train_landmarks(
+        batches(), steps=args.steps, model=model,
+        image_size=imgs.shape[1], learning_rate=args.lr, seed=args.seed,
+    )
+    print(f"final loss {history[-1]['loss']:.4f} nme {history[-1]['nme']:.4f}")
+    save_npz(args.output, {"params": state.params,
+                           "batch_stats": state.batch_stats})
+    print(f"saved landmark weights → {args.output}")
+    return 0
+
+
 def cmd_demo(args: argparse.Namespace) -> int:
     import numpy as np
 
@@ -280,6 +316,16 @@ def build_parser() -> argparse.ArgumentParser:
     td.add_argument("--seed", type=int, default=0)
     td.add_argument("--output", default="detector_weights.npz")
     td.set_defaults(fn=cmd_train_detector)
+
+    tl = sub.add_parser("train-landmarks", help="train the 68-pt landmark net")
+    tl.add_argument("--data", required=True,
+                    help="npz with images (N,S,S,3) uint8 + landmarks (N,68,2)")
+    tl.add_argument("--steps", type=int, default=1000)
+    tl.add_argument("--batch-size", type=int, default=64)
+    tl.add_argument("--lr", type=float, default=1e-4)
+    tl.add_argument("--seed", type=int, default=0)
+    tl.add_argument("--output", default="landmark_weights.npz")
+    tl.set_defaults(fn=cmd_train_landmarks)
 
     d = sub.add_parser("demo", help="detect+embed faces in one image")
     d.add_argument("image")

@@ -59,3 +59,19 @@ def test_cli_generate_pairs_and_pack_bin(dataset, tmp_path, capsys):
     assert out.exists()
     captured = capsys.readouterr().out
     assert "packed" in captured
+
+
+def test_cli_train_landmarks(tmp_path):
+    from deep_insight_face_tpu.training.landmark import save_landmark_npz
+
+    rng2 = np.random.default_rng(0)
+    imgs = rng2.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    lms = rng2.uniform(0, 1, (8, 68, 2)).astype(np.float32)
+    data = tmp_path / "lm.npz"
+    save_landmark_npz(str(data), imgs, lms)
+    out = tmp_path / "lmw.npz"
+    rc = main([
+        "train-landmarks", "--data", str(data), "--steps", "2",
+        "--batch-size", "4", "--output", str(out),
+    ])
+    assert rc == 0 and out.exists()
