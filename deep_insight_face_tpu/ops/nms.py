@@ -120,7 +120,9 @@ def _nms_kernel(max_boxes: int, iou_threshold: float,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_boxes", "iou_threshold", "score_threshold", "top_k")
+    jax.jit,
+    static_argnames=("max_boxes", "iou_threshold", "score_threshold", "top_k",
+                     "approx_topk"),
 )
 def non_max_suppression(
     boxes: jnp.ndarray,
@@ -129,17 +131,25 @@ def non_max_suppression(
     iou_threshold: float = 0.5,
     score_threshold: float = 0.0,
     top_k: int = 256,
+    approx_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """NMS over (N, 4) boxes + (N,) scores.
 
     Returns (boxes (max_boxes, 4), scores (max_boxes,), valid (max_boxes,)
     bool). Invalid slots are zeroed. Candidates below ``score_threshold``
-    never survive.
+    never survive. ``approx_topk`` uses the TPU-native approx_max_k
+    prefilter (recall 0.99 over the top-k candidate set — fine for the
+    serving pipeline, keep exact for eval).
     """
     n = scores.shape[0]
     k = min(top_k, n)
     scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if approx_topk and k < n:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=0.99
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = boxes[top_idx]
 
     kp = max(round_up(k, 128), 128)

@@ -109,6 +109,7 @@ def build_pipeline(
                 b, s, max_boxes=det_cfg.max_boxes,
                 iou_threshold=det_cfg.iou_threshold,
                 score_threshold=det_cfg.score_threshold,
+                approx_topk=True,
             )
             ob = correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w))
             return _select_best_box(ob, os_, valid, (h, w))
@@ -186,6 +187,7 @@ def build_multiface_pipeline(
                 b, s, max_boxes=mb,
                 iou_threshold=det_cfg.iou_threshold,
                 score_threshold=det_cfg.score_threshold,
+                approx_topk=True,
             )
             return correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w)), os_, valid
 
