@@ -125,19 +125,18 @@ class FaceRecognition:
         and, optionally, converted detector weights (npz from
         ``convert-weights``). The working version of the reference's
         weight-loading path (reference: api.py:71-88 load_weights)."""
-        import dataclasses as _dc
-
         from deep_insight_face_tpu.parallel.train_step import create_train_state
         from deep_insight_face_tpu.utils.checkpoint import CheckpointManager
         from deep_insight_face_tpu.utils.weights import load_npz
 
-        cfg = cfg or default_config()
-        model = build_embedding_model(cfg.model)
-        state = create_train_state(
-            model, _dc.replace(cfg, train=_dc.replace(cfg.train, mode="arcface")),
-            jax.random.key(0),
-        )
         mgr = CheckpointManager(checkpoint_dir)
+        # The restore template must match the training config (mode decides
+        # whether classifier/alpha exist; num_classes their shape). Trainer
+        # persists config.json alongside checkpoints; prefer it when the
+        # caller didn't pass an explicit cfg.
+        cfg = cfg or mgr.load_config() or default_config()
+        model = build_embedding_model(cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0))
         if mgr.latest_step() is None:
             raise FileNotFoundError(f"no checkpoint under {checkpoint_dir}")
         state = mgr.restore(state)

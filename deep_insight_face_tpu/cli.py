@@ -76,13 +76,29 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         embedding_size=args.embedding_size, image_size=args.image_size,
     )
     cfg = Config(model=mcfg, train=TrainConfig(checkpoint_dir=args.checkpoint_dir))
-    model = build_embedding_model(mcfg)
-    state = create_train_state(model, cfg, jax.random.key(0))
     if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):
+        # The restore template must match the TRAINING config (mode decides
+        # whether a classifier/alpha exists; num_classes decides its shape).
+        # Trainer persists config.json next to the checkpoints — prefer it
+        # over CLI args, which only describe the model.
         mgr = CheckpointManager(args.checkpoint_dir)
+        saved = mgr.load_config()
+        if saved is not None:
+            if saved.model != mcfg:
+                print(f"note: using model config saved with the checkpoint "
+                      f"({saved.model.backbone}/{saved.model.head}, "
+                      f"{saved.model.embedding_size}-D) over CLI args")
+            cfg = saved
+        model = build_embedding_model(cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0))
         if mgr.latest_step() is not None:
-            state = mgr.restore(state)
+            # partial restore: eval needs no classifier/opt state, so even
+            # config-less checkpoints with unknown num_classes/mode load
+            state = mgr.restore_for_eval(state)
             print(f"restored checkpoint step {int(state.step)}")
+    else:
+        model = build_embedding_model(mcfg)
+        state = create_train_state(model, cfg, jax.random.key(0))
 
     jit_embed = jax.jit(
         lambda v, x: model.apply(v, x, train=False)
@@ -91,7 +107,9 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
                  "batch_stats": state.batch_stats}
 
     def embed_fn(imgs):
-        return np.asarray(jit_embed(variables, preprocess(imgs, "tf")))
+        return np.asarray(
+            jit_embed(variables, preprocess(imgs, cfg.data.preprocess_mode))
+        )
 
     ecfg = EvalConfig(
         n_folds=args.folds, distance_metric=args.distance_metric,
@@ -99,7 +117,8 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
     )
     report = evaluate_lfw(
-        embed_fn, args.data_dir, args.pairs, ecfg, image_size=args.image_size
+        embed_fn, args.data_dir, args.pairs, ecfg,
+        image_size=cfg.model.image_size,
     )
     print(report.summary())
     if args.csv:

@@ -169,6 +169,9 @@ def _update_dataclass(obj: Any, updates: Mapping[str, Any]) -> Any:
         cur = getattr(obj, k)
         if dataclasses.is_dataclass(cur) and isinstance(v, Mapping):
             kw[k] = _update_dataclass(cur, v)
+        elif isinstance(cur, tuple) and isinstance(v, list):
+            # JSON round-trip turns tuples into lists (anchors, masks)
+            kw[k] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
         else:
             kw[k] = v
     return dataclasses.replace(obj, **kw)
@@ -179,3 +182,17 @@ def config_from_overrides(overrides: Optional[Mapping[str, Any]] = None) -> Conf
     if overrides:
         cfg = _update_dataclass(cfg, overrides)
     return cfg
+
+
+def config_to_json(cfg: Config) -> str:
+    """Serialize the full config tree to JSON (tuples become lists)."""
+    import json
+
+    return json.dumps(dataclasses.asdict(cfg), indent=2, sort_keys=True)
+
+
+def config_from_json(text: str) -> Config:
+    """Inverse of config_to_json; unknown keys raise (schema drift guard)."""
+    import json
+
+    return _update_dataclass(default_config(), json.loads(text))

@@ -78,11 +78,20 @@ def build_targets(
         }
         batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, g_max))
         safe_local = jnp.clip(local_idx, 0, a - 1)
-        sel = on_scale.astype(jnp.float32)
+        # Collision resolution: if several gts land on the same
+        # (cell, anchor), only the FIRST (lowest gt index) writes —
+        # otherwise .at[].add would sum their regression targets,
+        # corrupting crowded scenes. O(G²) pairwise check; G = max_boxes.
+        cell_key = (row * gsize + col) * a + safe_local  # (B, G)
+        same_cell = (cell_key[:, :, None] == cell_key[:, None, :]) & (
+            on_scale[:, :, None] & on_scale[:, None, :]
+        )
+        earlier = jnp.tril(jnp.ones((g_max, g_max), bool), k=-1)
+        dup = jnp.any(same_cell & earlier[None], axis=2)  # (B, G)
+        sel = (on_scale & ~dup).astype(jnp.float32)
 
         def scatter(tensor, values):
-            # masked scatter: invalid entries write zeros at cell (0,0,0),
-            # then get multiplied out by writing obj only where sel=1
+            # masked scatter: deselected entries add zeros at their cell
             return tensor.at[
                 batch_idx, row, col, safe_local
             ].add(values * sel[..., None] if values.ndim == 3 else values * sel)
@@ -91,8 +100,6 @@ def build_targets(
         t["twh"] = scatter(t["twh"], twh)
         t["obj"] = scatter(t["obj"], jnp.ones_like(sel))
         t["wh_px"] = scatter(t["wh_px"], jnp.stack([w, h], -1))
-        # clamp multiple-assignment collisions
-        t["obj"] = jnp.minimum(t["obj"], 1.0)
         targets.append(t)
     return targets
 

@@ -3,7 +3,8 @@ convert pre-trained Darknet weights, scripts/yolo_convert_tf.py).
 
 Jitted train step over (images, padded gt boxes + valid mask) batches
 with the YOLOv3 loss from detector/loss.py, for any detector variant
-(full / tiny / tiny_s2d).
+(full / tiny / tiny_s2d). Batch images are [0, 255] floats; the step
+normalizes to [0, 1] internally, matching the serving paths.
 """
 
 from __future__ import annotations
@@ -60,9 +61,13 @@ def make_detector_train_step(cfg: DetectorConfig, anchor_masks, input_size=None)
     anchors = jnp.asarray(np.array(cfg.anchors, np.float32))
 
     def loss_fn(params, state, batch):
+        # Normalize here so train and serve see identical input scaling:
+        # batches arrive [0, 255] (DetectorSampler / raw uint8), and every
+        # serving path (FaceDetector._core, pipeline.build_pipeline) also
+        # feeds the network image/255.
         heads, mut = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["images"], train=True, mutable=["batch_stats"],
+            batch["images"] / 255.0, train=True, mutable=["batch_stats"],
         )
         loss, metrics = yolo_loss(
             heads, batch["boxes"], batch["valid"], anchors, anchor_masks,

@@ -108,7 +108,11 @@ class ResNetV2(nn.Module):
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             dtype=self.dtype, param_dtype=self.param_dtype, name="stem_conv",
         )(x)
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        # Keras ResNet50V2 ZERO-pads before the stem max-pool (ZeroPadding2D
+        # + MaxPooling2D valid). Stem conv outputs can be negative, so
+        # zero-vs--inf padding changes border activations; matching Keras
+        # keeps a layer-by-layer weight port numerically mechanical.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=0)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         block_cls = _PreactBottleneck

@@ -83,6 +83,7 @@ class Trainer:
             max_to_keep=cfg.train.keep_checkpoints,
             save_every=cfg.train.checkpoint_every,
         )
+        self.ckpt.save_config(cfg)
 
     # -- state --------------------------------------------------------------
 

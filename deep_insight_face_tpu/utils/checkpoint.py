@@ -54,6 +54,25 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def save_config(self, cfg) -> None:
+        """Persist the training Config next to the checkpoints, so eval /
+        from_checkpoint can rebuild the exact restore template (mode,
+        num_classes, backbone) instead of guessing from defaults."""
+        from deep_insight_face_tpu.config import config_to_json
+
+        with open(os.path.join(self.directory, "config.json"), "w") as f:
+            f.write(config_to_json(cfg))
+
+    def load_config(self):
+        """The Config saved by save_config, or None if absent."""
+        from deep_insight_face_tpu.config import config_from_json
+
+        path = os.path.join(self.directory, "config.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return config_from_json(f.read())
+
     def restore(self, state, step: Optional[int] = None):
         """Restore into an existing (template) TrainState; returns the
         updated state or the template unchanged if nothing saved."""
@@ -69,4 +88,26 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             alpha=restored["alpha"],
             rng=jax.random.wrap_key_data(restored["rng"]),
+        )
+
+    def restore_for_eval(self, state, step: Optional[int] = None):
+        """Restore only what inference needs: step, backbone/head params
+        (classifier excluded) and batch_stats, via partial restore. Works
+        for checkpoints whose classifier shape / optimizer tree the caller
+        cannot reconstruct (e.g. unknown training num_classes or mode)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return state
+        # Template-free restore: orbax reconstructs the saved tree from its
+        # own metadata (as host arrays), so nothing about the training-time
+        # classifier/optimizer shape needs to be known here.
+        restored = self._mgr.restore(step)
+        params = dict(state.params)
+        params.update(
+            {k: v for k, v in restored["params"].items() if k != "classifier"}
+        )
+        return state.replace(
+            step=jax.numpy.asarray(restored["step"]),
+            params=params,
+            batch_stats=restored["batch_stats"],
         )

@@ -46,6 +46,28 @@ def test_build_targets_assignment():
     )
 
 
+def test_build_targets_collision_first_wins():
+    # two gts whose centers land in the same cell with the same best
+    # anchor: the first gt's regression targets must be written intact
+    # (not summed with the second's), obj stays exactly 1
+    boxes = jnp.array([[[150.0, 150.0, 250.0, 250.0],
+                        [148.0, 152.0, 252.0, 248.0]]])
+    valid = jnp.array([[True, True]])
+    targets = build_targets(
+        boxes, valid, _anchors(), TINY_ANCHOR_MASKS, 416, [13, 26]
+    )
+    t13 = targets[0]
+    assert float(t13["obj"].max()) == 1.0
+    assert float(t13["obj"].sum()) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(t13["txy"][0, 6, 6, 0]), [0.25, 0.25], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(t13["twh"][0, 6, 6, 0]),
+        [np.log(100 / 116), np.log(100 / 90)], atol=1e-5,
+    )
+
+
 def test_build_targets_invalid_ignored():
     boxes = jnp.array([[[150.0, 150.0, 250.0, 250.0]]])
     valid = jnp.array([[False]])
@@ -81,7 +103,7 @@ def test_detector_training_overfits_synthetic(rng):
     step = make_detector_train_step(cfg, TINY_ANCHOR_MASKS, input_size=128)
 
     img = np.zeros((1, 128, 128, 3), np.float32)
-    img[0, 40:90, 30:80] = 1.0  # a bright square "face"
+    img[0, 40:90, 30:80] = 255.0  # a bright square "face" ([0,255] contract)
     batch = {
         "images": jnp.asarray(img),
         "boxes": jnp.array([[[30.0, 40.0, 80.0, 90.0]]]),
@@ -96,12 +118,38 @@ def test_detector_training_overfits_synthetic(rng):
 
 
 @pytest.mark.slow
-def test_train_detect_ap_loop(rng):
-    """Full loop: overfit two synthetic scenes → run the jitted detector
-    core → NMS boxes → detection AP on the training scenes improves to
-    a usable level."""
+def test_train_detect_ap_loop(tmp_path, rng):
+    """Full loop through the REAL data path: save synthetic scenes to
+    disk → DetectorSampler batches → train → FaceDetector (serving path)
+    → NMS boxes → detection AP improves to a usable level. Exercises the
+    train/serve input-scaling contract end-to-end (both normalize /255
+    internally from [0,255] inputs)."""
+    from PIL import Image
+
+    from deep_insight_face_tpu.detector.data import (
+        DetectorSampler, read_box_annotations,
+    )
     from deep_insight_face_tpu.detector.runner import FaceDetector
     from deep_insight_face_tpu.detector.utility import evaluate_detections
+
+    scenes = np.zeros((2, 128, 128, 3), np.float32)
+    scenes[0, 40:90, 30:80] = 255.0
+    scenes[1, 10:60, 60:110] = 204.0
+    gts = np.array([[[30.0, 40.0, 80.0, 90.0]], [[60.0, 10.0, 110.0, 60.0]]])
+    for i in range(2):
+        Image.fromarray(scenes[i].astype(np.uint8)).save(
+            tmp_path / f"scene{i}.png"
+        )
+    (tmp_path / "boxes.csv").write_text(
+        "path,x1,y1,x2,y2\n"
+        + "\n".join(
+            f"scene{i}.png,{gts[i,0,0]},{gts[i,0,1]},{gts[i,0,2]},{gts[i,0,3]}"
+            for i in range(2)
+        )
+    )
+    ann = read_box_annotations(str(tmp_path / "boxes.csv"))
+    sampler = iter(DetectorSampler(ann, batch_size=2, input_size=128,
+                                   max_boxes=1, seed=0))
 
     cfg = DetectorConfig(variant="tiny_s2d", input_size=128,
                          score_threshold=0.3)
@@ -110,22 +158,15 @@ def test_train_detect_ap_loop(rng):
                                   learning_rate=2e-3, input_size=128)
     step = make_detector_train_step(cfg, TINY_ANCHOR_MASKS, input_size=128)
 
-    scenes = np.zeros((2, 128, 128, 3), np.float32)
-    scenes[0, 40:90, 30:80] = 1.0
-    scenes[1, 10:60, 60:110] = 0.8
-    gts = np.array([[[30.0, 40.0, 80.0, 90.0]], [[60.0, 10.0, 110.0, 60.0]]])
-    batch = {
-        "images": jnp.asarray(scenes),
-        "boxes": jnp.asarray(gts),
-        "valid": jnp.ones((2, 1), bool),
-    }
     for _ in range(120):
-        state, metrics = step(state, batch)
+        batch = next(sampler)
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()})
 
     det = FaceDetector(
         {"params": state.params, "batch_stats": state.batch_stats}, cfg, model
     )
-    results = det.detect_batch((scenes * 255).astype(np.uint8))
+    results = det.detect_batch(scenes.astype(np.uint8))
     pred_boxes = [r.boxes[r.valid] for r in results]
     pred_scores = [r.scores[r.valid] for r in results]
     out = evaluate_detections(pred_boxes, pred_scores,

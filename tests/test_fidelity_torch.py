@@ -63,7 +63,7 @@ def _torch_resnetv2(x_nhwc, params, stats, depths, filters):
     x = torch.tensor(x_nhwc.transpose(0, 3, 1, 2))
     x = _torch_conv(x, params["stem_conv"]["kernel"],
                     params["stem_conv"]["bias"], stride=2, padding=3)
-    x = F.max_pool2d(F.pad(x, (1, 1, 1, 1), value=-torch.inf), 3, stride=2)
+    x = F.max_pool2d(F.pad(x, (1, 1, 1, 1), value=0.0), 3, stride=2)  # Keras zero-pads
     n_stages = len(depths)
     for stage, depth in enumerate(depths):
         for block in range(depth):
