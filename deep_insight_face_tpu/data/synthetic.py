@@ -1,0 +1,533 @@
+"""Procedural face world: parametric faces with analytic 68-pt landmarks.
+
+The reference assumes external datasets (LFW folders, pre-trained
+weights) that this environment cannot download, so quality has to be
+demonstrated on data we can manufacture. This module renders a
+parametric face — head, hair, brows, eyes, nose, lips, all driven by a
+per-identity shape/color vector — under a randomized similarity pose,
+lighting gradient and noise, and returns the iBUG-68 landmark layout
+analytically (the landmarks ARE the geometry the features are drawn
+from, so they are exact by construction).
+
+One renderer feeds every trainable subsystem:
+
+- ``landmark_dataset``   → (images, normalized 68×2) for LandmarkNet
+  (replaces the reference's external ``face_landmark_detector`` dep,
+  reference: api.py:17-25);
+- ``identity_dataset``   → (images, labels) with stable per-identity
+  appearance across pose/lighting, for ArcFace / triplet training;
+- ``detection_scenes``   → cluttered scenes + gt boxes for the YOLO
+  trainer (the reference never trains its detector at all);
+- ``identity_directory`` → the same identities written as an LFW-style
+  folder tree for the directory-driven CLI paths.
+
+68-pt group convention matches api.LANDMARK_GROUPS (chin 0-17,
+left/right brow 17-27, nose 27-36, eyes 36-48, lips 48-68).
+
+Pure numpy, CPU-side (this is data generation, not the compute path);
+~10⁴ px images render in a few ms each.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# identity parameters
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FaceParams:
+    """Shape + color parameters defining one identity (face-local units:
+    the head fits roughly in [-1, 1]², y down)."""
+
+    face_w: float  # head half-width
+    face_h: float  # head half-height
+    jaw_y0: float  # ear height where the jaw contour starts
+    eye_dx: float  # eye center offset from midline
+    eye_y: float  # eye row (negative = above center)
+    eye_w: float
+    eye_h: float
+    iris_r: float
+    brow_h: float  # brow lift above eye center
+    brow_arc: float
+    brow_thick: float
+    nose_y: float  # nose tip row
+    nose_w: float  # nostril half-spread
+    mouth_y: float
+    mouth_w: float
+    lip_top: float
+    lip_bot: float
+    hairline: float  # hair cap lower boundary (negative y)
+    skin: np.ndarray  # (3,) RGB in [0, 1]
+    hair: np.ndarray
+    iris: np.ndarray
+    lip: np.ndarray
+    brow: np.ndarray
+
+    @staticmethod
+    def from_seed(seed: int) -> "FaceParams":
+        r = np.random.default_rng(np.uint64(seed) * np.uint64(2654435761) + 7)
+        u = lambda lo, hi: float(r.uniform(lo, hi))
+        skin_base = np.array([0.85, 0.66, 0.55])
+        skin = np.clip(
+            skin_base * r.uniform(0.55, 1.15) + r.normal(0, 0.03, 3), 0.05, 1.0
+        )
+        hair = np.clip(
+            np.array([u(0.02, 0.55), u(0.02, 0.4), u(0.0, 0.3)]), 0.0, 1.0
+        )
+        iris = np.array(
+            [[0.35, 0.22, 0.1], [0.25, 0.42, 0.6], [0.2, 0.4, 0.25],
+             [0.45, 0.3, 0.15]][int(r.integers(0, 4))]
+        ) * u(0.7, 1.3)
+        return FaceParams(
+            face_w=u(0.62, 0.8),
+            face_h=u(0.85, 1.0),
+            jaw_y0=u(-0.12, 0.05),
+            eye_dx=u(0.26, 0.38),
+            eye_y=u(-0.3, -0.12),
+            eye_w=u(0.1, 0.16),
+            eye_h=u(0.045, 0.075),
+            iris_r=u(0.035, 0.055),
+            brow_h=u(0.1, 0.17),
+            brow_arc=u(0.0, 0.06),
+            brow_thick=u(0.015, 0.035),
+            nose_y=u(0.1, 0.24),
+            nose_w=u(0.08, 0.14),
+            mouth_y=u(0.42, 0.56),
+            mouth_w=u(0.18, 0.3),
+            lip_top=u(0.035, 0.06),
+            lip_bot=u(0.05, 0.09),
+            hairline=u(-0.75, -0.35),
+            skin=skin,
+            hair=hair,
+            iris=np.clip(iris, 0.0, 1.0),
+            lip=np.clip(np.array([u(0.5, 0.8), u(0.15, 0.35), u(0.2, 0.4)]), 0, 1),
+            brow=np.clip(hair * u(0.7, 1.1), 0.0, 1.0),
+        )
+
+
+# ---------------------------------------------------------------------------
+# analytic 68-point layout (face-local coordinates)
+# ---------------------------------------------------------------------------
+
+
+def landmarks_local(p: FaceParams) -> np.ndarray:
+    """(68, 2) landmark layout in face-local coordinates, iBUG order."""
+    pts = np.zeros((68, 2), np.float64)
+
+    # 0-16 jaw: half-ellipse from left ear through chin to right ear
+    th = np.linspace(0.0, np.pi, 17)
+    pts[0:17, 0] = -p.face_w * np.cos(th)
+    pts[0:17, 1] = p.jaw_y0 + (p.face_h * 0.97 - p.jaw_y0) * np.sin(th) ** 0.85
+
+    def brow(cx):
+        xs = cx + np.linspace(-1.15 * p.eye_w, 1.15 * p.eye_w, 5)
+        ys = (
+            p.eye_y
+            - p.brow_h
+            - p.brow_arc * (1.0 - ((xs - cx) / (1.15 * p.eye_w)) ** 2)
+        )
+        return np.stack([xs, ys], -1)
+
+    pts[17:22] = brow(-p.eye_dx)  # left (image-left) brow
+    pts[22:27] = brow(+p.eye_dx)  # right brow
+
+    # 27-30 nose bridge, 31-35 nose base
+    pts[27:31, 0] = 0.0
+    pts[27:31, 1] = np.linspace(p.eye_y + 0.04, p.nose_y, 4)
+    pts[31:36, 0] = np.linspace(-p.nose_w, p.nose_w, 5)
+    pts[31:36, 1] = p.nose_y + 0.05
+
+    def eye(cx):
+        # 6 pts: outer corner, 2 top, inner corner, 2 bottom (ccw in
+        # image coords), starting at the image-left corner
+        ang = np.deg2rad([180.0, 120.0, 60.0, 0.0, -60.0, -120.0])
+        return np.stack(
+            [cx + p.eye_w * np.cos(ang), p.eye_y - p.eye_h * np.sin(ang)], -1
+        )
+
+    pts[36:42] = eye(-p.eye_dx)
+    pts[42:48] = eye(+p.eye_dx)
+
+    # 48-59 outer lip (12 pts, from image-left corner, ccw over the top)
+    ang = np.deg2rad(np.array([180, 150, 120, 90, 60, 30, 0,
+                               -40, -70, -90, -110, -140], np.float64))
+    up = np.sin(ang) > 0
+    ry = np.where(up, p.lip_top, p.lip_bot)
+    pts[48:60, 0] = p.mouth_w * np.cos(ang)
+    pts[48:60, 1] = p.mouth_y - ry * np.sin(ang)
+    # cupid's bow dip at the top-center point
+    pts[51, 1] += 0.012
+    # 60-67 inner lip (8 pts)
+    ang_i = np.deg2rad(np.array([180, 135, 90, 45, 0, -60, -90, -120],
+                                np.float64))
+    up_i = np.sin(ang_i) > 0
+    ry_i = np.where(up_i, p.lip_top * 0.35, p.lip_bot * 0.35)
+    pts[60:68, 0] = 0.8 * p.mouth_w * np.cos(ang_i)
+    pts[60:68, 1] = p.mouth_y - ry_i * np.sin(ang_i)
+    return pts
+
+
+#: 68 → 5 reduction (left eye, right eye, nose tip, mouth corners) used
+#: for ArcFace-style similarity alignment.
+FIVE_POINT_INDICES = {
+    "left_eye": list(range(36, 42)),
+    "right_eye": list(range(42, 48)),
+    "nose": [30],
+    "mouth_left": [48],
+    "mouth_right": [54],
+}
+
+
+def to_five_points(landmarks68: np.ndarray) -> np.ndarray:
+    """(…, 68, 2) → (…, 5, 2): eye centers, nose tip, mouth corners."""
+    lm = np.asarray(landmarks68)
+    return np.stack(
+        [
+            lm[..., 36:42, :].mean(-2),
+            lm[..., 42:48, :].mean(-2),
+            lm[..., 30, :],
+            lm[..., 48, :],
+            lm[..., 54, :],
+        ],
+        axis=-2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# renderer
+# ---------------------------------------------------------------------------
+
+
+def _ellipse_mask(xs, ys, cx, cy, rx, ry, feather):
+    d = np.sqrt(((xs - cx) / rx) ** 2 + ((ys - cy) / ry) ** 2)
+    return np.clip((1.0 - d) / feather + 0.5, 0.0, 1.0)
+
+
+def _capsule_mask(xs, ys, pts, thick, feather):
+    """Soft mask of a polyline with round caps."""
+    best = np.full(xs.shape, 1e9)
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        ab = b - a
+        denom = float(ab @ ab) + 1e-12
+        t = np.clip(((xs - a[0]) * ab[0] + (ys - a[1]) * ab[1]) / denom, 0, 1)
+        dx = xs - (a[0] + t * ab[0])
+        dy = ys - (a[1] + t * ab[1])
+        best = np.minimum(best, dx * dx + dy * dy)
+    return np.clip((thick - np.sqrt(best)) / feather + 0.5, 0.0, 1.0)
+
+
+def render_face(
+    params: FaceParams,
+    size: int,
+    rng: np.random.Generator,
+    rotation: Optional[float] = None,
+    scale: Optional[float] = None,
+    center: Optional[Tuple[float, float]] = None,
+    background: Optional[np.ndarray] = None,
+    return_alpha: bool = False,
+):
+    """Render one face; returns (image uint8 (S,S,3), landmarks (68,2) px).
+
+    ``rotation`` radians (default ±0.3 random), ``scale`` = face radius in
+    pixels (default ~0.42·size), ``center`` pixel coords. With
+    ``return_alpha`` also returns the head+hair alpha mask (S, S) for
+    compositing into scenes.
+    """
+    s = size
+    if rotation is None:
+        rotation = float(rng.uniform(-0.3, 0.3))
+    if scale is None:
+        scale = float(rng.uniform(0.36, 0.46)) * s
+    if center is None:
+        center = (
+            s / 2 + float(rng.uniform(-0.05, 0.05)) * s,
+            s / 2 + float(rng.uniform(-0.05, 0.05)) * s,
+        )
+
+    yy, xx = np.meshgrid(np.arange(s, dtype=np.float64),
+                         np.arange(s, dtype=np.float64), indexing="ij")
+    # inverse pose: pixel → face-local
+    ca, sa = np.cos(rotation), np.sin(rotation)
+    fx = ((xx - center[0]) * ca + (yy - center[1]) * sa) / scale
+    fy = (-(xx - center[0]) * sa + (yy - center[1]) * ca) / scale
+    feather = 1.5 / scale
+
+    p = params
+    if background is None:
+        bg = np.clip(
+            rng.uniform(0.1, 0.9, 3)[None, None]
+            + rng.normal(0, 0.04, (s, s, 1)), 0, 1,
+        )
+    else:
+        bg = background.astype(np.float64)
+    img = bg.copy()
+
+    def paint(mask, color):
+        img[...] = img * (1 - mask[..., None]) + np.asarray(color)[None, None] * mask[..., None]
+
+    # head
+    head = _ellipse_mask(fx, fy, 0, 0, p.face_w, p.face_h, feather)
+    # cheap shading: light from a random direction in face space
+    lx, ly = rng.uniform(-1, 1), rng.uniform(-1, 0.2)
+    norm = np.hypot(lx, ly) + 1e-6
+    shade = 1.0 + 0.18 * (fx * lx / norm + fy * ly / norm)
+    skin = np.clip(p.skin[None, None] * shade[..., None], 0, 1)
+    img = img * (1 - head[..., None]) + skin * head[..., None]
+
+    # hair cap: head region above the hairline + a thin outer rim
+    hair_zone = _ellipse_mask(fx, fy, 0, -0.08, p.face_w * 1.08, p.face_h * 1.05,
+                              feather)
+    hairline = np.clip((p.hairline - fy) / (8 * feather) + 0.5, 0, 1)
+    paint(hair_zone * hairline, p.hair)
+
+    # brows
+    lm = landmarks_local(p)
+    for sl in (slice(17, 22), slice(22, 27)):
+        paint(_capsule_mask(fx, fy, lm[sl], p.brow_thick, feather), p.brow)
+
+    # eyes: sclera, iris, pupil
+    for sign in (-1, 1):
+        cx = sign * p.eye_dx
+        paint(_ellipse_mask(fx, fy, cx, p.eye_y, p.eye_w, p.eye_h, feather),
+              (0.95, 0.95, 0.94))
+        paint(_ellipse_mask(fx, fy, cx, p.eye_y, p.iris_r, p.iris_r, feather),
+              p.iris)
+        paint(_ellipse_mask(fx, fy, cx, p.eye_y, p.iris_r * 0.45,
+                            p.iris_r * 0.45, feather), (0.03, 0.03, 0.03))
+
+    # nose: bridge shadow + nostrils
+    bridge = _capsule_mask(fx, fy, lm[27:31], 0.02, feather)
+    img *= 1.0 - 0.25 * bridge[..., None]
+    for sign in (-1, 1):
+        paint(_ellipse_mask(fx, fy, sign * p.nose_w * 0.7, p.nose_y + 0.045,
+                            0.022, 0.016, feather), p.skin * 0.45)
+
+    # lips: outer ellipse-ish (two half heights), inner mouth line
+    up = _ellipse_mask(fx, fy, 0, p.mouth_y, p.mouth_w, p.lip_top, feather) * (
+        fy <= p.mouth_y
+    )
+    dn = _ellipse_mask(fx, fy, 0, p.mouth_y, p.mouth_w, p.lip_bot, feather) * (
+        fy > p.mouth_y
+    )
+    paint(np.clip(up + dn, 0, 1), p.lip)
+    mouth_line = _capsule_mask(
+        fx, fy, np.array([[-p.mouth_w * 0.85, p.mouth_y],
+                          [p.mouth_w * 0.85, p.mouth_y]]), 0.008, feather
+    )
+    paint(mouth_line, p.lip * 0.4)
+
+    # global lighting gradient + sensor noise
+    gdir = rng.uniform(-1, 1, 2)
+    g = (xx / s - 0.5) * gdir[0] + (yy / s - 0.5) * gdir[1]
+    img = np.clip(img * (1.0 + 0.15 * g[..., None]), 0, 1)
+    img = np.clip(img + rng.normal(0, 0.015, img.shape), 0, 1)
+
+    # forward-transform landmarks to pixel coords
+    px = center[0] + scale * (lm[:, 0] * ca - lm[:, 1] * sa)
+    py = center[1] + scale * (lm[:, 0] * sa + lm[:, 1] * ca)
+    landmarks = np.stack([px, py], -1).astype(np.float32)
+    out = (img * 255).astype(np.uint8)
+    if return_alpha:
+        alpha = np.clip(head + hair_zone * hairline, 0, 1)
+        return out, landmarks, alpha
+    return out, landmarks
+
+
+# ---------------------------------------------------------------------------
+# dataset builders
+# ---------------------------------------------------------------------------
+
+
+def landmark_dataset(
+    n: int, size: int = 112, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(images uint8 (N,S,S,3), landmarks float32 (N,68,2) normalized to
+    [0,1]) — randomized identity per sample, full pose/lighting jitter."""
+    rng = np.random.default_rng(seed)
+    imgs = np.empty((n, size, size, 3), np.uint8)
+    lms = np.empty((n, 68, 2), np.float32)
+    for i in range(n):
+        p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
+        img, lm = render_face(p, size, rng)
+        imgs[i] = img
+        lms[i] = lm / size
+    return imgs, lms
+
+
+def landmark_crop_dataset(
+    n: int, size: int = 112, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Landmark samples with SERVING crop geometry: the face is rendered
+    in a larger frame, cropped at its (jittered-margin) landmark bounding
+    box — exactly what api.raw_landmarks / the fused pipeline feed the
+    LandmarkNet — and landmarks are normalized to the crop.
+
+    Returns (images uint8 (N,S,S,3), landmarks float32 (N,68,2) in
+    crop-normalized [0,1])."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed + 47)
+    frame = int(size * 1.6)
+    imgs = np.empty((n, size, size, 3), np.uint8)
+    lms = np.empty((n, 68, 2), np.float32)
+    for i in range(n):
+        p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
+        img, lm = render_face(
+            p, frame, rng,
+            scale=float(rng.uniform(0.3, 0.42)) * frame,
+            center=(frame / 2 + float(rng.uniform(-0.08, 0.08)) * frame,
+                    frame / 2 + float(rng.uniform(-0.08, 0.08)) * frame),
+        )
+        x1, y1 = lm.min(0)
+        x2, y2 = lm.max(0)
+        # detector boxes carry a margin; jitter it so the net tolerates
+        # loose and tight crops plus a little off-center error
+        mx = (x2 - x1) * float(rng.uniform(0.02, 0.22))
+        my = (y2 - y1) * float(rng.uniform(0.02, 0.22))
+        jx = (x2 - x1) * float(rng.uniform(-0.04, 0.04))
+        jy = (y2 - y1) * float(rng.uniform(-0.04, 0.04))
+        cx1 = max(x1 - mx + jx, 0.0)
+        cy1 = max(y1 - my + jy, 0.0)
+        cx2 = min(x2 + mx + jx, frame)
+        cy2 = min(y2 + my + jy, frame)
+        crop = Image.fromarray(
+            img[int(cy1) : int(cy2), int(cx1) : int(cx2)]
+        ).resize((size, size), Image.BILINEAR)
+        imgs[i] = np.asarray(crop)
+        lms[i, :, 0] = (lm[:, 0] - int(cx1)) / (int(cx2) - int(cx1))
+        lms[i, :, 1] = (lm[:, 1] - int(cy1)) / (int(cy2) - int(cy1))
+    return imgs, lms
+
+
+def identity_dataset(
+    n_ids: int,
+    per_id: int,
+    size: int = 112,
+    seed: int = 0,
+    id_offset: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(images (N,S,S,3) uint8, labels (N,) int32): ``per_id`` renders of
+    each identity under varying pose/lighting/noise. Identity appearance
+    is a pure function of (seed-space id) so disjoint splits share
+    nothing."""
+    rng = np.random.default_rng(seed + 991)
+    n = n_ids * per_id
+    imgs = np.empty((n, size, size, 3), np.uint8)
+    labels = np.empty((n,), np.int32)
+    k = 0
+    for cid in range(n_ids):
+        p = FaceParams.from_seed(id_offset + cid)
+        for _ in range(per_id):
+            imgs[k], _ = render_face(p, size, rng)
+            labels[k] = cid
+            k += 1
+    return imgs, labels
+
+
+def identity_directory(
+    root: str, n_ids: int, per_id: int, size: int = 112, seed: int = 0
+) -> List[str]:
+    """Write identity_dataset as an LFW-style folder tree
+    (root/person_XXXX/person_XXXX_NNNN.jpg); returns class dirs."""
+    from PIL import Image
+
+    imgs, labels = identity_dataset(n_ids, per_id, size, seed)
+    dirs = []
+    for cid in range(n_ids):
+        d = os.path.join(root, f"person_{cid:04d}")
+        os.makedirs(d, exist_ok=True)
+        dirs.append(d)
+    counters = [0] * n_ids
+    for img, cid in zip(imgs, labels):
+        counters[cid] += 1
+        Image.fromarray(img).save(
+            os.path.join(root, f"person_{cid:04d}",
+                         f"person_{cid:04d}_{counters[cid]:04d}.jpg")
+        )
+    return dirs
+
+
+def detection_scenes(
+    n: int,
+    size: int = 416,
+    max_faces: int = 3,
+    seed: int = 0,
+    min_face: float = 0.15,
+    max_face: float = 0.45,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Cluttered scenes with 1..max_faces composited faces.
+
+    Returns (images uint8 (N,S,S,3), boxes float32 (N,max_faces,4)
+    x1y1x2y2 px, valid bool (N,max_faces)). Boxes are the tight landmark
+    bounding box expanded 8% (the trainable definition of "face").
+    Background contains distractor shapes so the detector must learn
+    face structure, not brightness.
+    """
+    rng = np.random.default_rng(seed + 313)
+    imgs = np.empty((n, size, size, 3), np.uint8)
+    boxes = np.zeros((n, max_faces, 4), np.float32)
+    valid = np.zeros((n, max_faces), bool)
+    for i in range(n):
+        bg = np.clip(
+            rng.uniform(0.05, 0.95, 3)[None, None]
+            + rng.normal(0, 0.05, (size, size, 1)),
+            0, 1,
+        )
+        # distractor rectangles / ellipses
+        yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        for _ in range(int(rng.integers(2, 6))):
+            cx, cy = rng.uniform(0, size, 2)
+            rx, ry = rng.uniform(0.03, 0.2, 2) * size
+            if rng.random() < 0.5:
+                m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
+            else:
+                m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+            bg[m] = np.clip(rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1)
+
+        canvas = bg
+        k = int(rng.integers(1, max_faces + 1))
+        placed = []
+        for f in range(k):
+            radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
+            # rejection-sample a center that does not overlap placed faces
+            for _ in range(20):
+                cx = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+                cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+                if all(
+                    np.hypot(cx - q[0], cy - q[1]) > 0.8 * (radius + q[2])
+                    for q in placed
+                ):
+                    break
+            else:
+                continue
+            placed.append((cx, cy, radius))
+            p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
+            face, lm, alpha = render_face(
+                p, size, rng,
+                rotation=float(rng.uniform(-0.25, 0.25)),
+                scale=radius / 2,
+                center=(cx, cy),
+                background=canvas,
+                return_alpha=True,
+            )
+            canvas = canvas * (1 - alpha[..., None]) + (
+                face.astype(np.float64) / 255.0
+            ) * alpha[..., None]
+            x1, y1 = lm.min(0)
+            x2, y2 = lm.max(0)
+            mx, my = 0.08 * (x2 - x1), 0.08 * (y2 - y1)
+            boxes[i, f] = [
+                max(x1 - mx, 0), max(y1 - my, 0),
+                min(x2 + mx, size), min(y2 + my, size),
+            ]
+            valid[i, f] = True
+        imgs[i] = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
+    return imgs, boxes, valid

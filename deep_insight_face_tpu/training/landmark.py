@@ -6,8 +6,9 @@ This closes the gap: a jitted train step over (image, 68×2-landmark)
 batches with wing loss, NME eval, and the same Orbax checkpointing as
 the embedding trainers.
 
-Dataset format: any iterator of {"images": (B, S, S, 3) float,
-"landmarks": (B, 68, 2) normalized [0, 1]} batches;
+Dataset format: any iterator of {"images": (B, S, S, 3) float [0, 255],
+"landmarks": (B, 68, 2) normalized [0, 1]} batches (the step applies the
+serving "tf" preprocessing internally);
 ``load_landmark_npz`` reads the simple packed form
 (images uint8 + landmarks float32 arrays in one npz).
 """
@@ -73,9 +74,14 @@ def create_landmark_state(
 
 def make_landmark_train_step(omega: float = 10.0, epsilon: float = 2.0):
     def loss_fn(params, state, batch, rng):
+        # Normalize here so train and serve agree: batches arrive
+        # [0, 255]; the serving paths (api.raw_landmarks, the fused
+        # pipeline) feed the net preprocess(crop, "tf") = x/127.5 - 1.
+        from deep_insight_face_tpu.ops.image import preprocess
+
         pred, mut = state.apply_fn(
             {"params": params, "batch_stats": state.batch_stats},
-            batch["images"], train=True,
+            preprocess(batch["images"], "tf"), train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         loss = wing_loss(pred, batch["landmarks"], omega=omega, epsilon=epsilon)

@@ -17,7 +17,10 @@ def _synthetic_batches(rng, n_batches, batch=8, size=32):
     for _ in range(n_batches):
         jitter = rng.normal(scale=0.01, size=(batch, 68, 2)).astype(np.float32)
         lms = np.clip(base[None] + jitter, 0, 1)
-        imgs = rng.normal(scale=0.1, size=(batch, size, size, 3)).astype(np.float32)
+        # [0, 255] contract (the step normalizes internally)
+        imgs = np.clip(
+            rng.normal(loc=128, scale=25, size=(batch, size, size, 3)), 0, 255
+        ).astype(np.float32)
         yield {"images": jnp.asarray(imgs), "landmarks": jnp.asarray(lms)}
 
 

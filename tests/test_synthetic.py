@@ -1,0 +1,105 @@
+"""Procedural face world: geometry, determinism, dataset contracts."""
+
+import numpy as np
+
+from deep_insight_face_tpu.data.synthetic import (
+    FaceParams,
+    detection_scenes,
+    identity_dataset,
+    landmark_crop_dataset,
+    landmark_dataset,
+    landmarks_local,
+    render_face,
+    to_five_points,
+)
+
+
+def test_identity_is_deterministic():
+    a, b = FaceParams.from_seed(7), FaceParams.from_seed(7)
+    assert a.face_w == b.face_w and np.allclose(a.skin, b.skin)
+    c = FaceParams.from_seed(8)
+    assert a.face_w != c.face_w or not np.allclose(a.skin, c.skin)
+
+
+def test_landmark_layout_sane():
+    p = FaceParams.from_seed(3)
+    lm = landmarks_local(p)
+    assert lm.shape == (68, 2)
+    # chin below eyes; eyes symmetric about the midline
+    assert lm[8, 1] > lm[36:48, 1].max()
+    np.testing.assert_allclose(lm[36:42, 0].mean(), -lm[42:48, 0].mean(),
+                               atol=1e-9)
+    # mouth between nose and chin
+    assert lm[31:36, 1].max() < lm[48:60, 1].min() < lm[8, 1]
+
+
+def test_render_landmarks_track_pose():
+    p = FaceParams.from_seed(5)
+    rng = np.random.default_rng(0)
+    img, lm = render_face(p, 112, rng, rotation=0.0, scale=45.0,
+                          center=(56.0, 56.0))
+    assert img.shape == (112, 112, 3) and img.dtype == np.uint8
+    # eye landmarks under zero rotation: left eye left of right eye,
+    # both above mouth
+    assert lm[36:42, 0].mean() < lm[42:48, 0].mean()
+    assert lm[36:48, 1].mean() < lm[48:60, 1].mean()
+    # rotating the pose rotates the landmarks accordingly
+    img2, lm2 = render_face(p, 112, rng, rotation=0.5, scale=45.0,
+                            center=(56.0, 56.0))
+    v1 = lm[42:48].mean(0) - lm[36:42].mean(0)
+    v2 = lm2[42:48].mean(0) - lm2[36:42].mean(0)
+    ang = np.arctan2(v2[1], v2[0]) - np.arctan2(v1[1], v1[0])
+    assert abs(ang - 0.5) < 1e-6
+
+
+def test_five_point_reduction():
+    p = FaceParams.from_seed(11)
+    lm = landmarks_local(p)[None]
+    five = to_five_points(lm)
+    assert five.shape == (1, 5, 2)
+    np.testing.assert_allclose(five[0, 2], lm[0, 30])  # nose tip
+    assert five[0, 0, 0] < five[0, 1, 0]  # left eye left of right
+
+
+def test_landmark_dataset_contract():
+    imgs, lms = landmark_dataset(3, size=64, seed=1)
+    assert imgs.shape == (3, 64, 64, 3) and imgs.dtype == np.uint8
+    assert lms.shape == (3, 68, 2)
+    assert (lms >= -0.1).all() and (lms <= 1.1).all()
+    # deterministic per seed
+    imgs2, lms2 = landmark_dataset(3, size=64, seed=1)
+    np.testing.assert_array_equal(imgs, imgs2)
+
+
+def test_landmark_crop_dataset_serving_geometry():
+    imgs, lms = landmark_crop_dataset(4, size=64, seed=2)
+    assert imgs.shape == (4, 64, 64, 3)
+    # crop-normalized: the face spans most of the crop
+    assert (lms > -0.05).all() and (lms < 1.05).all()
+    spans = lms.max(1) - lms.min(1)
+    assert (spans > 0.55).all(), spans
+
+
+def test_identity_dataset_stability():
+    imgs, labels = identity_dataset(2, 3, size=48, seed=0)
+    assert imgs.shape == (6, 48, 48, 3)
+    np.testing.assert_array_equal(labels, [0, 0, 0, 1, 1, 1])
+    # same identity renders are more alike than cross-identity (compare
+    # central crops to dodge background/pose variation)
+    c = imgs[:, 12:36, 12:36].astype(np.float32).reshape(6, -1)
+    same = np.linalg.norm(c[0] - c[1])
+    cross = np.linalg.norm(c[0] - c[3])
+    assert same < cross, (same, cross)
+
+
+def test_detection_scenes_contract():
+    imgs, boxes, valid = detection_scenes(2, size=128, max_faces=2, seed=3)
+    assert imgs.shape == (2, 128, 128, 3)
+    assert boxes.shape == (2, 2, 4) and valid.shape == (2, 2)
+    assert valid.any()
+    for i in range(2):
+        for b, v in zip(boxes[i], valid[i]):
+            if v:
+                x1, y1, x2, y2 = b
+                assert 0 <= x1 < x2 <= 128 and 0 <= y1 < y2 <= 128
+                assert (x2 - x1) > 8 and (y2 - y1) > 8
