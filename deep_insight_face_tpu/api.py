@@ -103,8 +103,22 @@ class FaceRecognition:
             )
         self.embed_variables = embed_variables
         self._detector: Optional[FaceDetector] = None
+        if detector_variables is None:
+            from deep_insight_face_tpu.utils.pretrained import (
+                load_detector_variables,
+            )
+
+            detector_variables = load_detector_variables(
+                self.cfg.detector.variant
+            )
         self._detector_variables = detector_variables
         self.landmark_model = LandmarkNet()
+        if landmark_variables is None:
+            from deep_insight_face_tpu.utils.pretrained import (
+                load_landmark_variables,
+            )
+
+            landmark_variables = load_landmark_variables()
         self._landmark_variables = landmark_variables
         self._jit_embed = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
@@ -284,16 +298,26 @@ class FaceRecognition:
         from deep_insight_face_tpu.pipeline import build_pipeline
 
         images = np.asarray(images)
-        key = ("pipeline", images.shape[1:3])
+        use_lm = self._landmark_variables is not None
+        key = ("pipeline", images.shape[1:3], use_lm)
         if not hasattr(self, "_pipelines"):
             self._pipelines = {}
         if key not in self._pipelines:
             self._pipelines[key] = build_pipeline(
-                self.cfg, self.model, self.detector.model
+                self.cfg, self.model, self.detector.model,
+                align="landmark" if use_lm else "box",
+                landmark_model=self.landmark_model if use_lm else None,
             )
-        out = self._pipelines[key](
-            self.detector.variables, self.embed_variables, jnp.asarray(images)
-        )
+        if use_lm:
+            out = self._pipelines[key](
+                self.detector.variables, self._landmark_variables,
+                self.embed_variables, jnp.asarray(images),
+            )
+        else:
+            out = self._pipelines[key](
+                self.detector.variables, self.embed_variables,
+                jnp.asarray(images),
+            )
         return (
             np.asarray(out.embeddings),
             np.asarray(out.boxes),

@@ -229,6 +229,22 @@ def warp_affine(
     )
 
 
+def five_from_68(landmarks68: jnp.ndarray) -> jnp.ndarray:
+    """(…, 68, 2) iBUG landmarks → (…, 5, 2) ArcFace points: eye centers
+    (mean of 36-41 / 42-47), nose tip (30), mouth corners (48, 54)."""
+    lm = jnp.asarray(landmarks68)
+    return jnp.stack(
+        [
+            lm[..., 36:42, :].mean(-2),
+            lm[..., 42:48, :].mean(-2),
+            lm[..., 30, :],
+            lm[..., 48, :],
+            lm[..., 54, :],
+        ],
+        axis=-2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # landmark-template alignment (the public "align" op)
 # ---------------------------------------------------------------------------

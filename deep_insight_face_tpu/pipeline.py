@@ -29,6 +29,7 @@ from deep_insight_face_tpu.models.yolov3 import TINY_ANCHOR_MASKS, YoloV3, YoloV
 from deep_insight_face_tpu.ops.align import (
     ARCFACE_TEMPLATE_112,
     crop_resize_boxes,
+    five_from_68,
     umeyama_similarity,
     warp_affine,
 )
@@ -72,11 +73,27 @@ def build_pipeline(
     embed_model: EmbeddingModel,
     detector_model: Optional[YoloV3] = None,
     jit: bool = True,
+    align: str = "box",
+    landmark_model=None,
+    landmark_size: int = 112,
 ):
-    """Returns fn(detector_vars, embed_vars, images_uint8) →
-    PipelineOutput for a fixed (N, H, W, 3) geometry (jitted unless
-    ``jit=False`` — the raw fn composes into larger programs, e.g. the
-    scan-chained benchmark loop)."""
+    """Fused detect → (align) → embed program for a fixed (N, H, W, 3)
+    geometry.
+
+    - ``align="box"``: margin-box crop + resize (reference pipeline
+      semantics: filter_bounding_box margin crop, detector/run.py:76-88).
+      Returns fn(detector_vars, embed_vars, images) → PipelineOutput.
+    - ``align="landmark"``: LandmarkNet runs on the margin crop and the
+      face is similarity-warped so its 5 points land on the ArcFace
+      template (the working version of the reference's disabled
+      findLandmarks → create_thumbnail path, api.py:124-145) — all
+      inside the same jitted program. Returns
+      fn(detector_vars, landmark_vars, embed_vars, images).
+
+    The box crop and the landmark crop both use the separable MXU warp;
+    the final similarity warp (rotation ≠ axis-aligned) gathers only
+    from the small (landmark_size²) crop, never the full frame.
+    """
     det_cfg = cfg.detector
     if detector_model is None:
         detector_model, anchor_masks = make_detector_model(det_cfg)
@@ -86,16 +103,15 @@ def build_pipeline(
             if isinstance(detector_model, YoloV3Tiny)
             else det_cfg.anchor_masks
         )
+    if align == "landmark" and landmark_model is None:
+        from deep_insight_face_tpu.models.landmark import LandmarkNet
+
+        landmark_model = LandmarkNet()
     anchors = jnp.asarray(np.array(det_cfg.anchors, np.float32))
     out_size = cfg.model.image_size
-    # 5-point template normalized to the unit box: alignment maps the
-    # detected face box onto the canonical ArcFace layout
-    tpl_unit = jnp.asarray(ARCFACE_TEMPLATE_112 / 112.0)
     tpl_dst = jnp.asarray(ARCFACE_TEMPLATE_112) * (out_size / 112.0)
 
-    def run(detector_vars, embed_vars, images) -> PipelineOutput:
-        n, h, w, _ = images.shape
-        x = images.astype(jnp.float32)
+    def detect_best(detector_vars, x, h, w):
         boxed, meta = letterbox(x, det_cfg.input_size)
         heads = detector_model.apply(detector_vars, boxed / 255.0, train=False)
         raw_boxes, raw_scores = decode_detections(
@@ -114,14 +130,11 @@ def build_pipeline(
             ob = correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w))
             return _select_best_box(ob, os_, valid, (h, w))
 
-        box, score, found = jax.vmap(per_image)(raw_boxes, face_scores)
+        return jax.vmap(per_image)(raw_boxes, face_scores)
 
-        # margin-expanded box crop + resize via the separable MXU warp
-        # (reference pipeline semantics: filter_bounding_box margin crop,
-        # detector/run.py:76-88; landmark-template alignment is the API
-        # path, ops/align.align_faces)
+    def margin_box(box):
         m = float(det_cfg.bbox_margin)
-        expanded = jnp.stack(
+        return jnp.stack(
             [
                 box[:, 0] - m / 2,
                 box[:, 1] - m / 2,
@@ -130,14 +143,53 @@ def build_pipeline(
             ],
             axis=-1,
         )
-        crops = crop_resize_boxes(x, expanded, (out_size, out_size))
 
-        emb = embed_model.apply(
+    def embed(embed_vars, crops):
+        return embed_model.apply(
             embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False
         )
-        return PipelineOutput(embeddings=emb, boxes=box, scores=score, found=found)
 
-    return jax.jit(run) if jit else run
+    if align == "box":
+
+        def run(detector_vars, embed_vars, images) -> PipelineOutput:
+            n, h, w, _ = images.shape
+            x = images.astype(jnp.float32)
+            box, score, found = detect_best(detector_vars, x, h, w)
+            crops = crop_resize_boxes(x, margin_box(box), (out_size, out_size))
+            emb = embed(embed_vars, crops)
+            return PipelineOutput(
+                embeddings=emb, boxes=box, scores=score, found=found
+            )
+
+        return jax.jit(run) if jit else run
+
+    if align != "landmark":
+        raise ValueError(f"unknown align mode {align!r}")
+
+    ls = landmark_size
+
+    def run_lm(detector_vars, landmark_vars, embed_vars, images) -> PipelineOutput:
+        n, h, w, _ = images.shape
+        x = images.astype(jnp.float32)
+        box, score, found = detect_best(detector_vars, x, h, w)
+        expanded = margin_box(box)
+        # landmark stage: separable-warp crop → LandmarkNet → 5 points
+        # in crop pixel coords
+        crops = crop_resize_boxes(x, expanded, (ls, ls))
+        lm = landmark_model.apply(
+            landmark_vars, preprocess(crops, "tf"), train=False
+        )  # (N, 68, 2) normalized to the crop
+        five = five_from_68(lm) * ls
+        # similarity warp within the small crop only (gathers stay in a
+        # ls² window; the separable crop already did the heavy resize)
+        mats = jax.vmap(lambda f: umeyama_similarity(f, tpl_dst))(five)
+        aligned = warp_affine(crops, mats, (out_size, out_size))
+        emb = embed(embed_vars, aligned)
+        return PipelineOutput(
+            embeddings=emb, boxes=box, scores=score, found=found
+        )
+
+    return jax.jit(run_lm) if jit else run_lm
 
 
 class MultiFaceOutput(NamedTuple):
@@ -226,6 +278,8 @@ def build_benchmark_fn(
     embed_model: EmbeddingModel,
     detector_model: Optional[YoloV3] = None,
     iters: int = 4,
+    align: str = "box",
+    landmark_model=None,
 ):
     """One jitted program running ``iters`` chained pipeline steps.
 
@@ -237,15 +291,25 @@ def build_benchmark_fn(
     unrolled here — scan-of-pipeline compiles pathologically slowly on
     the remote TPU toolchain) and amortize host round-trips by calling
     the returned fn with several distinct inputs.
+
+    Returns fn(variables, images) with ``variables`` a dict holding
+    "detector", "embed" and (align="landmark") "landmark" var trees.
     """
-    run = build_pipeline(cfg, embed_model, detector_model, jit=False)
+    run = build_pipeline(
+        cfg, embed_model, detector_model, jit=False,
+        align=align, landmark_model=landmark_model,
+    )
 
     @jax.jit
-    def bench(detector_vars, embed_vars, images):
+    def bench(variables, images):
         total = jnp.float32(0.0)
         imgs = images
         for _ in range(iters):
-            out = run(detector_vars, embed_vars, imgs)
+            if align == "landmark":
+                out = run(variables["detector"], variables["landmark"],
+                          variables["embed"], imgs)
+            else:
+                out = run(variables["detector"], variables["embed"], imgs)
             eps = jnp.sum(out.embeddings) * 1e-12 + jnp.sum(out.boxes) * 1e-12
             imgs = imgs + eps
             # embeddings feed the result so no stage is dead even on the

@@ -1,0 +1,50 @@
+"""Shipped-weights registry.
+
+The reference presumes externally downloaded weight files and hard-exits
+without them (reference: api.py:17-25 external landmark package,
+config.py:18-20 YOLO .h5 paths). Here the repo ships small weight files
+trained in-repo on the procedural face world (data/synthetic.py,
+scripts/train_*_weights.py); api.FaceRecognition picks them up by
+default and everything still degrades gracefully when a file is absent
+(template-projection landmarks, randomly initialized detector).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+WEIGHTS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "weights"
+)
+
+
+def weights_path(name: str) -> Optional[str]:
+    """Absolute path of a shipped weight file, or None if not shipped."""
+    p = os.path.join(WEIGHTS_DIR, name)
+    return p if os.path.exists(p) else None
+
+
+def load_landmark_variables() -> Optional[Any]:
+    """Shipped LandmarkNet (68-pt) variables, or None."""
+    from deep_insight_face_tpu.utils.weights import load_npz
+
+    p = weights_path("landmark_68.npz")
+    return load_npz(p) if p else None
+
+
+def load_detector_variables(variant: str = "tiny_s2d") -> Optional[Any]:
+    """Shipped YOLO face-detector variables for ``variant``, or None."""
+    from deep_insight_face_tpu.utils.weights import load_npz
+
+    p = weights_path(f"detector_{variant}.npz")
+    return load_npz(p) if p else None
+
+
+def load_embedder_variables(name: str = "embedder_synth") -> Optional[Any]:
+    """Shipped embedding-model variables (trained on the synthetic
+    identity world), or None."""
+    from deep_insight_face_tpu.utils.weights import load_npz
+
+    p = weights_path(f"{name}.npz")
+    return load_npz(p) if p else None

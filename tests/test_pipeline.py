@@ -79,8 +79,33 @@ def test_benchmark_fn_runs(small_cfg, pipeline_setup, rng):
     imgs = jnp.asarray(
         rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8)
     ).astype(jnp.float32)
-    out = float(bench(dv, ev, imgs))
+    out = float(bench({"detector": dv, "embed": ev}, imgs))
     assert np.isfinite(out)
+
+
+def test_landmark_aligned_pipeline(small_cfg, pipeline_setup, rng):
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+
+    em, ev, dm, dv = pipeline_setup
+    lm_model = LandmarkNet(width=0.25, dtype=jnp.float32)
+    lv = lm_model.init(jax.random.key(2), jnp.zeros((1, 48, 48, 3)))
+    run = build_pipeline(small_cfg, em, dm, align="landmark",
+                         landmark_model=lm_model, landmark_size=48)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8))
+    out = run(dv, lv, ev, imgs)
+    assert out.embeddings.shape == (2, 16)
+    assert np.isfinite(np.asarray(out.embeddings)).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out.embeddings), axis=1), 1.0, atol=1e-4
+    )
+    # benchmark variant with the landmark stage fused in
+    bench = build_benchmark_fn(small_cfg, em, dm, iters=2, align="landmark",
+                               landmark_model=lm_model)
+    val = float(bench(
+        {"detector": dv, "landmark": lv, "embed": ev},
+        imgs.astype(jnp.float32),
+    ))
+    assert np.isfinite(val)
 
 
 def test_multiface_pipeline(small_cfg, pipeline_setup, rng):
