@@ -281,18 +281,30 @@ def load_openface_csv(
 # ---------------------------------------------------------------------------
 
 
-def save_npz(path: str, variables: Dict) -> None:
+def save_npz(path: str, variables: Dict, dtype: Optional[str] = None) -> None:
+    """Flatten a variables pytree into one compressed npz.
+
+    ``dtype="float16"`` stores float leaves half-precision — used for
+    shipped inference weights (params round-trip through f16 with ~1e-3
+    relative error, irrelevant at inference); load_npz restores float32.
+    """
     flat = {}
     leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
     for key_path, leaf in leaves:
         name = "/".join(str(getattr(k, "key", k)) for k in key_path)
-        flat[name] = np.asarray(leaf)
-    np.savez(path, **flat)
+        arr = np.asarray(leaf)
+        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(dtype)
+        flat[name] = arr
+    np.savez_compressed(path, **flat)
 
 
 def load_npz(path: str) -> Dict:
     data = np.load(path)
     tree: Dict = {}
     for name in data.files:
-        _set(tree, tuple(name.split("/")), jnp.asarray(data[name]))
+        arr = data[name]
+        if arr.dtype == np.float16:  # shipped-weight compression
+            arr = arr.astype(np.float32)
+        _set(tree, tuple(name.split("/")), jnp.asarray(arr))
     return tree

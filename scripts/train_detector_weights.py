@@ -1,0 +1,151 @@
+"""Train the shipped tiny_s2d face-detector weights on procedural scenes.
+
+Produces deep_insight_face_tpu/weights/detector_tiny_s2d.npz — the
+default detector api.FaceRecognition loads — plus a JSON sidecar with
+held-out detection AP. (The reference never trains its detector; it can
+only convert pre-trained Darknet blobs, scripts/yolo_convert_tf.py.)
+
+Usage: python scripts/train_detector_weights.py [--steps 2400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2400)
+    ap.add_argument("--train-n", type=int, default=1000)
+    ap.add_argument("--eval-n", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--input-size", type=int, default=416)
+    ap.add_argument("--max-faces", type=int, default=3)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--variant", default="tiny_s2d")
+    ap.add_argument(
+        "--output",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "deep_insight_face_tpu",
+            "weights", "detector_tiny_s2d.npz",
+        ),
+    )
+    args = ap.parse_args()
+
+    from deep_insight_face_tpu.config import DetectorConfig
+    from deep_insight_face_tpu.data.synthetic import detection_scenes
+    from deep_insight_face_tpu.detector.runner import FaceDetector
+    from deep_insight_face_tpu.detector.train import (
+        create_detector_state,
+        make_detector_train_step,
+    )
+    from deep_insight_face_tpu.detector.utility import evaluate_detections
+    from deep_insight_face_tpu.pipeline import make_detector_model
+    from deep_insight_face_tpu.utils.weights import save_npz
+
+    t0 = time.time()
+    print(f"rendering {args.train_n}+{args.eval_n} scenes @{args.input_size}…",
+          flush=True)
+    imgs, boxes, valid = detection_scenes(
+        args.train_n + args.eval_n, size=args.input_size,
+        max_faces=args.max_faces, seed=args.seed,
+    )
+    tr = slice(0, args.train_n)
+    ev = slice(args.train_n, None)
+    print(f"  done in {time.time() - t0:.0f}s "
+          f"({valid.sum()} faces total)", flush=True)
+
+    cfg = DetectorConfig(variant=args.variant, input_size=args.input_size,
+                         max_boxes=args.max_faces, score_threshold=0.3)
+    model, masks = make_detector_model(cfg)
+    state = create_detector_state(model, cfg, jax.random.key(args.seed),
+                                  learning_rate=args.lr)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"{args.variant}: {n_params/1e6:.2f}M params", flush=True)
+    step = make_detector_train_step(cfg, masks)
+
+    chunk = min(8, args.steps)
+
+    @jax.jit
+    def multi_step(state, batches):
+        metrics = None
+        for j in range(chunk):
+            state, metrics = step(
+                state, jax.tree.map(lambda x: x[j], batches)
+            )
+        return state, metrics
+
+    r = np.random.default_rng(args.seed)
+    t0 = time.time()
+    n_chunks = args.steps // chunk
+    for i in range(n_chunks):
+        idx = r.integers(0, args.train_n, (chunk, args.batch))
+        batches = {
+            "images": jnp.asarray(imgs[tr][idx]).astype(jnp.float32),
+            "boxes": jnp.asarray(boxes[tr][idx]),
+            "valid": jnp.asarray(valid[tr][idx]),
+        }
+        state, metrics = multi_step(state, batches)
+        done = (i + 1) * chunk
+        if (i + 1) % max(n_chunks // 20, 1) == 0:
+            print(
+                f"step {done}/{args.steps} loss {float(metrics['loss']):.3f} "
+                f"({(time.time()-t0)/done*1000:.0f} ms/step)", flush=True,
+            )
+
+    # held-out AP through the REAL serving path (FaceDetector: letterbox,
+    # /255, decode, Pallas NMS)
+    det = FaceDetector(
+        {"params": state.params, "batch_stats": state.batch_stats}, cfg, model
+    )
+    pred_boxes, pred_scores, gt_list = [], [], []
+    ev_imgs, ev_boxes, ev_valid = imgs[ev], boxes[ev], valid[ev]
+    for s in range(0, len(ev_imgs), 16):
+        for rres, gb, gv in zip(
+            det.detect_batch(ev_imgs[s : s + 16]),
+            ev_boxes[s : s + 16], ev_valid[s : s + 16],
+        ):
+            pred_boxes.append(rres.boxes[rres.valid])
+            pred_scores.append(rres.scores[rres.valid])
+            gt_list.append(gb[gv])
+    out = evaluate_detections(pred_boxes, pred_scores, gt_list,
+                              iou_threshold=0.5)
+    print(f"held-out AP@0.5 = {out['ap']:.3f} "
+          f"(precision {out.get('precision', float('nan')):.3f} "
+          f"recall {out.get('recall', float('nan')):.3f})", flush=True)
+
+    path = os.path.abspath(args.output)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    save_npz(path, {"params": state.params, "batch_stats": state.batch_stats})
+    meta = {
+        "variant": args.variant,
+        "input_size": args.input_size,
+        "steps": args.steps,
+        "train_scenes": args.train_n,
+        "eval_scenes": args.eval_n,
+        "heldout_ap50": out["ap"],
+        "params_m": n_params / 1e6,
+        "platform": jax.devices()[0].platform,
+    }
+    with open(path.replace(".npz", ".json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"saved {path} ({os.path.getsize(path)/1e6:.1f} MB)", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
