@@ -37,7 +37,10 @@ def cmd_train(args: argparse.Namespace) -> int:
                 "embedding_size": args.embedding_size,
                 "image_size": args.image_size,
             },
-            "data": {"batch_size": args.batch_size},
+            "data": {
+                "batch_size": args.batch_size,
+                "augmentation": args.augmentation,
+            },
             "train": {
                 "mode": args.mode,
                 "epochs": args.epochs,
@@ -281,6 +284,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=20)
     t.add_argument("--steps-per-epoch", type=int, default=100)
     t.add_argument("--batch-size", type=int, default=128)
+    t.add_argument("--augmentation", default="non_geometric",
+                   choices=["default", "geometric", "non_geometric", "both",
+                            "all", "none"])
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--num-classes", type=int, default=1000)
     t.add_argument("--checkpoint-dir", default="checkpoints")

@@ -255,6 +255,130 @@ def random_affine(
     return warp_affine(images, mats, (h, w))
 
 
+def random_gaussian_blur(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_sigma: float = 2.0,
+    taps: int = 9,
+    prob: float = 0.5,
+) -> jnp.ndarray:
+    """Per-image separable gaussian blur with a random sigma
+    (reference: common/image_aug.py:386 iaa.GaussianBlur((0, 3.0))).
+
+    Per-image kernels rule out one shared conv, so the separable blur is
+    computed as ``taps`` shifted adds along H then W with per-image tap
+    weights — static shapes, batched, and cheap (2·taps fused FMAs per
+    pixel) instead of a vmapped conv per image.
+    """
+    n, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    sigma = jax.random.uniform(k1, (n,), minval=1e-3, maxval=max_sigma)
+    on = jax.random.bernoulli(k2, prob, (n,))
+    r = taps // 2
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    wts = jnp.exp(-0.5 * (offs[None, :] / sigma[:, None]) ** 2)  # (n, taps)
+    # identity kernel where the blur is off → one jnp.where at the weights
+    ident = (offs == 0).astype(jnp.float32)[None, :]
+    wts = jnp.where(on[:, None], wts, ident)
+    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
+    x = images.astype(jnp.float32)
+    # edge-replicate pad then K shifted slices (static) along each axis
+    xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    x = sum(
+        wts[:, i, None, None, None] * jax.lax.dynamic_slice_in_dim(xp, i, h, 1)
+        for i in range(taps)
+    )
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    x = sum(
+        wts[:, i, None, None, None] * jax.lax.dynamic_slice_in_dim(xp, i, w, 2)
+        for i in range(taps)
+    )
+    return x
+
+
+def random_additive_noise(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_scale: float = 0.05 * 255.0,
+    per_channel_prob: float = 0.5,
+) -> jnp.ndarray:
+    """Additive gaussian noise, optionally per-channel (reference:
+    common/image_aug.py:415 iaa.AdditiveGaussianNoise(scale=(0, 0.05*255),
+    per_channel=0.5))."""
+    n, h, w, c = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = jax.random.uniform(k1, (n, 1, 1, 1), maxval=max_scale)
+    noise = jax.random.normal(k2, (n, h, w, c))
+    per_ch = jax.random.bernoulli(k3, per_channel_prob, (n, 1, 1, 1))
+    shared = jnp.mean(noise, axis=-1, keepdims=True)
+    noise = jnp.where(per_ch, noise, shared)
+    return jnp.clip(images.astype(jnp.float32) + scale * noise, 0.0, 255.0)
+
+
+def random_multiply(
+    key: jax.Array,
+    images: jnp.ndarray,
+    lower: float = 0.5,
+    upper: float = 1.5,
+    per_channel_prob: float = 0.5,
+) -> jnp.ndarray:
+    """Per-image (sometimes per-channel) brightness multiply (reference:
+    common/image_aug.py:439 iaa.Multiply((0.5, 1.5), per_channel=0.5))."""
+    n, _, _, c = images.shape
+    k1, k2 = jax.random.split(key)
+    factor = jax.random.uniform(k1, (n, 1, 1, c), minval=lower, maxval=upper)
+    per_ch = jax.random.bernoulli(k2, per_channel_prob, (n, 1, 1, 1))
+    factor = jnp.where(per_ch, factor, factor[..., :1])
+    return jnp.clip(images.astype(jnp.float32) * factor, 0.0, 255.0)
+
+
+def random_dropout(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_rate: float = 0.1,
+) -> jnp.ndarray:
+    """Per-pixel dropout to 0 at a random per-image rate (reference:
+    common/image_aug.py:424 iaa.Dropout((0.01, 0.1)))."""
+    n, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    rate = jax.random.uniform(k1, (n, 1, 1, 1), minval=0.01, maxval=max_rate)
+    keep = jax.random.uniform(k2, (n, h, w, 1)) >= rate
+    return images.astype(jnp.float32) * keep
+
+
+def random_coarse_dropout(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_rate: float = 0.05,
+    cell: int = 16,
+) -> jnp.ndarray:
+    """Coarse (blocky) dropout: a low-res bernoulli mask nearest-upsampled
+    to image size (reference: common/image_aug.py:425 iaa.CoarseDropout
+    ((0.03, 0.15), size_percent=(0.02, 0.05)))."""
+    n, h, w, _ = images.shape
+    gh, gw = max(h // cell, 1), max(w // cell, 1)
+    k1, k2 = jax.random.split(key)
+    rate = jax.random.uniform(k1, (n, 1, 1), minval=0.0, maxval=max_rate)
+    keep = (jax.random.uniform(k2, (n, gh, gw)) >= rate).astype(jnp.float32)
+    keep = jnp.repeat(jnp.repeat(keep, -(-h // gh), 1)[:, :h],
+                      -(-w // gw), 2)[:, :, :w]
+    return images.astype(jnp.float32) * keep[..., None]
+
+
+def random_grayscale(
+    key: jax.Array, images: jnp.ndarray, max_alpha: float = 1.0
+) -> jnp.ndarray:
+    """Random blend toward luma grayscale (reference:
+    common/image_aug.py:447 iaa.Grayscale(alpha=(0.0, 1.0)))."""
+    n = images.shape[0]
+    alpha = jax.random.uniform(key, (n, 1, 1, 1), maxval=max_alpha)
+    x = images.astype(jnp.float32)
+    luma = (
+        0.299 * x[..., 0:1] + 0.587 * x[..., 1:2] + 0.114 * x[..., 2:3]
+    )
+    return x + alpha * (luma - x)
+
+
 AUGMENTATION_OPTIONS = ("default", "geometric", "non_geometric", "both", "all", "none")
 
 
@@ -270,7 +394,7 @@ def augment_batch(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
         return images
-    k = jax.random.split(key, 6)
+    k = jax.random.split(key, 12)
     x = images.astype(jnp.float32)
     if option in ("geometric", "both", "all", "default"):
         x = random_flip(k[0], x)
@@ -281,4 +405,14 @@ def augment_batch(
         x = random_brightness(k[2], x)
         x = random_contrast(k[3], x)
         x = random_saturation(k[4], x)
+    if option in ("non_geometric", "both", "all"):
+        x = random_multiply(k[6], x, 0.8, 1.25)
+        x = random_additive_noise(k[7], x, max_scale=0.03 * 255.0)
+    if option == "all":
+        # the heavy tail of the reference's "all" imgaug stack
+        # (common/image_aug.py:368-456): blur, dropout, grayscale blend
+        x = random_gaussian_blur(k[8], x, max_sigma=2.0, prob=0.3)
+        x = random_dropout(k[9], x, max_rate=0.05)
+        x = random_coarse_dropout(k[10], x, max_rate=0.05)
+        x = random_grayscale(k[11], x, max_alpha=0.7)
     return x

@@ -145,6 +145,79 @@ def test_augment_batch_options(rng):
         I.augment_batch(jax.random.key(1), x, "nope")
 
 
+def test_gaussian_blur_smooths_and_preserves_mean(rng):
+    x = jnp.array(rng.uniform(0, 255, (3, 16, 16, 3)).astype(np.float32))
+    out = np.asarray(I.random_gaussian_blur(jax.random.key(2), x, prob=1.0))
+    assert out.shape == x.shape
+    # normalized kernel → per-image mean roughly preserved (edge padding)
+    np.testing.assert_allclose(
+        out.mean(axis=(1, 2, 3)), np.asarray(x).mean(axis=(1, 2, 3)), rtol=0.1
+    )
+    # blur reduces high-frequency energy
+    def hf(a):
+        return np.abs(np.diff(a, axis=1)).mean()
+    assert hf(out) < hf(np.asarray(x))
+
+
+def test_gaussian_blur_prob_zero_is_identity(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 12, 12, 3)).astype(np.float32))
+    out = np.asarray(I.random_gaussian_blur(jax.random.key(2), x, prob=0.0))
+    np.testing.assert_allclose(out, np.asarray(x), atol=1e-4)
+
+
+def test_additive_noise_bounded(rng):
+    x = jnp.array(rng.uniform(0, 255, (4, 8, 8, 3)).astype(np.float32))
+    out = np.asarray(I.random_additive_noise(jax.random.key(4), x))
+    assert out.shape == x.shape
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    assert not np.allclose(out, np.asarray(x))
+
+
+def test_multiply_scales(rng):
+    x = jnp.full((2, 8, 8, 3), 100.0, np.float32)
+    out = np.asarray(I.random_multiply(jax.random.key(5), jnp.array(x)))
+    assert ((out >= 100 * 0.5 - 1) & (out <= 100 * 1.5 + 1)).all()
+
+
+def test_dropout_zeros_pixels(rng):
+    x = jnp.full((4, 32, 32, 3), 7.0, np.float32)
+    out = np.asarray(I.random_dropout(jax.random.key(6), x, max_rate=0.3))
+    zeroed = (out == 0).all(axis=-1).mean()
+    assert 0.0 < zeroed < 0.5
+    # dropped pixels are zeroed across all channels together
+    per_pix = (out == 0).any(axis=-1) == (out == 0).all(axis=-1)
+    assert per_pix.all()
+
+
+def test_coarse_dropout_blocky(rng):
+    x = jnp.full((2, 64, 64, 3), 9.0, np.float32)
+    out = np.asarray(I.random_coarse_dropout(jax.random.key(9), x, max_rate=0.4))
+    mask = (out[..., 0] == 0)
+    if mask.any():
+        # zeros come in 16x16-aligned blocks: each grid cell is all-or-none
+        cells = mask.reshape(2, 4, 16, 4, 16)
+        per_cell = cells.mean(axis=(2, 4))
+        assert np.isin(per_cell, [0.0, 1.0]).all()
+
+
+def test_grayscale_full_alpha_equalizes_channels(rng):
+    x = jnp.array(rng.uniform(0, 255, (3, 8, 8, 3)).astype(np.float32))
+    out = np.asarray(I.random_grayscale(jax.random.key(1), x, max_alpha=1.0))
+    assert out.shape == x.shape
+    # alpha in [0, 1): channel spread never increases
+    spread = lambda a: (a.max(-1) - a.min(-1)).mean()
+    assert spread(out) <= spread(np.asarray(x)) + 1e-4
+
+
+def test_augment_all_stack_jits(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    f = jax.jit(lambda k, im: I.augment_batch(k, im, "all"))
+    out = np.asarray(f(jax.random.key(3), x))
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    assert not np.allclose(out, np.asarray(x))
+
+
 def test_augment_jit_compatible(rng):
     x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
     f = jax.jit(lambda k, im: I.augment_batch(k, im, "both"))
