@@ -1,4 +1,8 @@
-from deep_insight_face_tpu.parallel.mesh import create_mesh, data_sharding  # noqa: F401
+from deep_insight_face_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh,
+    data_sharding,
+    initialize_distributed,
+)
 from deep_insight_face_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
     create_train_state,
@@ -11,6 +15,7 @@ __all__ = [
     "create_mesh",
     "create_train_state",
     "data_sharding",
+    "initialize_distributed",
     "make_eval_embed_fn",
     "make_train_step",
 ]

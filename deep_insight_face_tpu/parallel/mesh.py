@@ -25,15 +25,73 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from deep_insight_face_tpu.config import MeshConfig
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Guarded ``jax.distributed.initialize`` for multi-host runs
+    (SURVEY §7: "jax.distributed init; ICI intra-slice, DCN across
+    slices").
+
+    On TPU pods all three arguments auto-detect from the environment; on
+    CPU/GPU clusters pass them (or set JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID). No-ops when distribution is
+    already initialized or when nothing requests multiple processes —
+    safe to call unconditionally from every entry point.
+
+    Returns True when the distributed runtime is (now) active.
+    """
+    import os
+
+    # NOTE: must not touch the backend (jax.process_count/jax.devices)
+    # before jax.distributed.initialize — it would lock in a
+    # single-process runtime
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process run; nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
+
+
 def create_mesh(
     cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = None
 ) -> Mesh:
+    """Build the (data, model) mesh.
+
+    Multi-host aware: ``jax.devices()`` orders devices by process, so the
+    trailing ``model`` axis is constrained to lie WITHIN one process's
+    local devices (ICI) while the leading ``data`` axis spans processes
+    (DCN across slices/hosts). Pure-DP data traffic over DCN is only
+    the gradient all-reduce; the chatty vocab-parallel ArcFace
+    collectives (per-step psum/pmax over ``model``) stay on ICI.
+    """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     mp = max(1, cfg.model_parallel)
     if n % mp:
         raise ValueError(f"{n} devices not divisible by model_parallel={mp}")
+    n_proc = len({getattr(d, "process_index", 0) for d in devices})
+    if n_proc > 1:
+        local = n // n_proc
+        if mp > local or local % mp:
+            raise ValueError(
+                f"model_parallel={mp} must divide the {local} local devices "
+                f"per process — the model axis must not cross hosts (DCN)"
+            )
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
     if dp * mp != n:
         raise ValueError(f"mesh {dp}×{mp} != {n} devices")
