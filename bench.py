@@ -2,8 +2,11 @@
 one chip (BASELINE.json metric: faces/sec/chip, target ≥5000 on v5e).
 
 Runs the fused serving pipeline (deep_insight_face_tpu.pipeline): YOLOv3
-@416 detect + decode + Pallas NMS + similarity-align to 112 + ResNet50V2
-GDC 128-D embed, all inside one jit, uint8 in / embeddings out.
+@416 detect + decode + Pallas NMS + LandmarkNet 68-pt + similarity-warp
+alignment to the ArcFace template + ResNet50V2 GDC 128-D embed, all
+inside one jit, uint8 in / embeddings out. Shipped trained weights
+(deep_insight_face_tpu/weights/, trained on the procedural face world)
+are used for every stage that has them; the JSON line reports which.
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", ...}
@@ -38,7 +41,13 @@ def main() -> None:
         build_embedding_model,
         init_embedding_params,
     )
-    from deep_insight_face_tpu.pipeline import build_benchmark_fn
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+    from deep_insight_face_tpu.pipeline import (
+        build_benchmark_fn,
+        build_pipeline,
+        make_detector_model,
+    )
+    from deep_insight_face_tpu.utils import pretrained
 
     import dataclasses
 
@@ -52,22 +61,42 @@ def main() -> None:
     chain = 8 if platform == "tpu" else 2  # chained steps inside the jit
     reps = 3 if platform == "tpu" else 1  # distinct host-side calls
 
+    weights_used = {}
+
     embed_model = build_embedding_model(cfg.model)
-    embed_vars = init_embedding_params(
-        embed_model, jax.random.key(0), cfg.model.image_size
+    embed_vars = pretrained.load_embedder_variables(
+        f"embedder_synth_{cfg.model.backbone}"
     )
-    from deep_insight_face_tpu.pipeline import make_detector_model
+    weights_used["embed"] = "trained" if embed_vars is not None else "random"
+    if embed_vars is None:
+        embed_vars = init_embedding_params(
+            embed_model, jax.random.key(0), cfg.model.image_size
+        )
 
     det_model, _ = make_detector_model(cfg.detector)
-    det_vars = det_model.init(
-        jax.random.key(1),
-        jnp.zeros((1, cfg.detector.input_size, cfg.detector.input_size, 3)),
-    )
+    det_vars = pretrained.load_detector_variables(cfg.detector.variant)
+    weights_used["detector"] = "trained" if det_vars is not None else "random"
+    if det_vars is None:
+        det_vars = det_model.init(
+            jax.random.key(1),
+            jnp.zeros((1, cfg.detector.input_size, cfg.detector.input_size, 3)),
+        )
+
+    lm_model = LandmarkNet()
+    lm_vars = pretrained.load_landmark_variables()
+    weights_used["landmark"] = "trained" if lm_vars is not None else "random"
+    if lm_vars is None:
+        lm_vars = lm_model.init(jax.random.key(2), jnp.zeros((1, 112, 112, 3)))
+
+    variables = {"detector": det_vars, "landmark": lm_vars, "embed": embed_vars}
 
     # chained pipeline steps inside ONE jit (data-dependent → every step
     # truly executes, no value caching), called with several distinct
     # inputs dispatched asynchronously to amortize host round-trips
-    bench = build_benchmark_fn(cfg, embed_model, det_model, iters=chain)
+    bench = build_benchmark_fn(
+        cfg, embed_model, det_model, iters=chain,
+        align="landmark", landmark_model=lm_model,
+    )
 
     rng = np.random.default_rng(0)
     batches = [
@@ -78,7 +107,7 @@ def main() -> None:
     ]
     jax.block_until_ready(batches)
 
-    out = bench(det_vars, embed_vars, batches[0])  # warmup / compile
+    out = bench(variables, batches[0])  # warmup / compile
     float(out)  # force full execution + fetch
 
     # several measurement rounds, best taken: the remote-TPU tunnel has
@@ -88,7 +117,7 @@ def main() -> None:
     best = float("inf")
     for r in range(rounds):
         start = time.perf_counter()
-        outs = [bench(det_vars, embed_vars, b + float(r + 1)) for b in batches]
+        outs = [bench(variables, b + float(r + 1)) for b in batches]
         vals = [float(o) for o in outs]  # fetch = proof of execution
         best = min(best, time.perf_counter() - start)
 
@@ -100,15 +129,16 @@ def main() -> None:
     # median of sequential fetch-timed calls
     single_lat_ms = None
     if platform == "tpu":
-        from deep_insight_face_tpu.pipeline import build_pipeline
-
-        run1 = build_pipeline(cfg, embed_model, det_model)
+        run1 = build_pipeline(
+            cfg, embed_model, det_model,
+            align="landmark", landmark_model=lm_model,
+        )
         one = batches[0][:1]
-        float(jnp.sum(run1(det_vars, embed_vars, one).embeddings))  # compile
+        float(jnp.sum(run1(det_vars, lm_vars, embed_vars, one).embeddings))
         lats = []
         for i in range(7):
             t0 = time.perf_counter()
-            out1 = run1(det_vars, embed_vars, one + float(i + 1))
+            out1 = run1(det_vars, lm_vars, embed_vars, one + float(i + 1))
             float(jnp.sum(out1.embeddings))
             lats.append(time.perf_counter() - t0)
         single_lat_ms = sorted(lats)[len(lats) // 2] * 1000.0
@@ -121,6 +151,8 @@ def main() -> None:
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(faces_per_sec / REFERENCE_FACES_PER_SEC, 3),
                 "batch": batch, "detector": cfg.detector.variant,
+                "align": "landmark",
+                "weights": weights_used,
                 "batch_latency_ms": round(p50_latency_ms, 2),
                 "p50_single_image_ms": (
                     round(single_lat_ms, 2) if single_lat_ms else None

@@ -98,6 +98,12 @@ class FaceRecognition:
         self.model = build_embedding_model(self.cfg.model)
         key = jax.random.key(seed)
         if embed_variables is None:
+            from deep_insight_face_tpu.utils.pretrained import (
+                load_matching_embedder,
+            )
+
+            embed_variables = load_matching_embedder(self.cfg.model)
+        if embed_variables is None:
             embed_variables = init_embedding_params(
                 self.model, key, self.cfg.model.image_size, self.cfg.model.channels
             )

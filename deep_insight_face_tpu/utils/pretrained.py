@@ -48,3 +48,35 @@ def load_embedder_variables(name: str = "embedder_synth") -> Optional[Any]:
 
     p = weights_path(f"{name}.npz")
     return load_npz(p) if p else None
+
+
+def load_matching_embedder(model_cfg) -> Optional[Any]:
+    """Shipped embedder variables whose sidecar ModelConfig matches
+    ``model_cfg`` exactly (backbone/head/size/width/channels), or None.
+
+    Shipped embedders are trained per backbone
+    (scripts/train_embedder_weights.py writes
+    ``embedder_synth_<backbone>.npz`` + a JSON sidecar with the exact
+    ModelConfig); loading weights into a differently-shaped model would
+    fail or silently misbehave, so a config mismatch returns None and
+    the caller falls back to random initialization.
+    """
+    import dataclasses
+    import json
+
+    p = weights_path(f"embedder_synth_{model_cfg.backbone}.npz")
+    if p is None:
+        return None
+    sidecar = p.replace(".npz", ".json")
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar) as f:
+        shipped = json.load(f).get("model", {})
+    want = dataclasses.asdict(model_cfg)
+    checked = ("backbone", "head", "embedding_size", "image_size",
+               "width_multiplier", "channels")
+    if any(k in shipped and shipped[k] != want.get(k) for k in checked):
+        return None
+    from deep_insight_face_tpu.utils.weights import load_npz
+
+    return load_npz(p)

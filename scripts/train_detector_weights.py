@@ -130,7 +130,8 @@ def main() -> int:
 
     path = os.path.abspath(args.output)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    save_npz(path, {"params": state.params, "batch_stats": state.batch_stats})
+    save_npz(path, {"params": state.params, "batch_stats": state.batch_stats},
+             dtype="float16")
     meta = {
         "variant": args.variant,
         "input_size": args.input_size,

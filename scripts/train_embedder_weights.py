@@ -47,14 +47,14 @@ def main() -> int:
     ap.add_argument("--augmentation", default="non_geometric")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
-    ap.add_argument(
-        "--output",
-        default=os.path.join(
-            os.path.dirname(__file__), "..", "deep_insight_face_tpu",
-            "weights", "embedder_synth.npz",
-        ),
-    )
+    ap.add_argument("--output", default=None,
+                    help="default: weights/embedder_synth_<backbone>.npz")
     args = ap.parse_args()
+    if args.output is None:
+        args.output = os.path.join(
+            os.path.dirname(__file__), "..", "deep_insight_face_tpu",
+            "weights", f"embedder_synth_{args.backbone}.npz",
+        )
 
     from deep_insight_face_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
