@@ -531,3 +531,66 @@ def detection_scenes(
             valid[i, f] = True
         imgs[i] = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
     return imgs, boxes, valid
+
+
+def identity_scenes(
+    n_ids: int,
+    per_id: int,
+    size: int = 416,
+    seed: int = 0,
+    id_offset: int = 0,
+    min_face: float = 0.25,
+    max_face: float = 0.45,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full scenes each containing ONE face of a KNOWN identity — the
+    end-to-end quality probe: raw frame in, identity out, so a
+    detect → landmark-align → embed pipeline can be scored on
+    verification accuracy with no stage short-circuited.
+
+    Returns (images uint8 (n_ids·per_id, S, S, 3), labels int32). Same
+    distractor-cluttered backgrounds as :func:`detection_scenes`; face
+    pose/scale/position vary per render while identity appearance is the
+    pure function of (id_offset + label).
+    """
+    rng = np.random.default_rng(seed + 727)
+    n = n_ids * per_id
+    imgs = np.empty((n, size, size, 3), np.uint8)
+    labels = np.empty((n,), np.int32)
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    k = 0
+    for cid in range(n_ids):
+        p = FaceParams.from_seed(id_offset + cid)
+        for _ in range(per_id):
+            bg = np.clip(
+                rng.uniform(0.05, 0.95, 3)[None, None]
+                + rng.normal(0, 0.05, (size, size, 1)),
+                0, 1,
+            )
+            for _ in range(int(rng.integers(2, 6))):
+                cx, cy = rng.uniform(0, size, 2)
+                rx, ry = rng.uniform(0.03, 0.2, 2) * size
+                if rng.random() < 0.5:
+                    m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
+                else:
+                    m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+                bg[m] = np.clip(
+                    rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1
+                )
+            radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
+            cx = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+            cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+            face, lm, alpha = render_face(
+                p, size, rng,
+                rotation=float(rng.uniform(-0.25, 0.25)),
+                scale=radius / 2,
+                center=(cx, cy),
+                background=bg,
+                return_alpha=True,
+            )
+            canvas = bg * (1 - alpha[..., None]) + (
+                face.astype(np.float64) / 255.0
+            ) * alpha[..., None]
+            imgs[k] = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
+            labels[k] = cid
+            k += 1
+    return imgs, labels

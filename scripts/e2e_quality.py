@@ -1,0 +1,150 @@
+"""End-to-end quality report with SHIPPED TRAINED weights: raw frames in,
+identity decisions out, nothing short-circuited.
+
+Renders held-out identity scenes (identities disjoint from both the
+embedder's train AND eval seed spaces), runs the FULL fused serving
+pipeline (detect → Pallas NMS → LandmarkNet 68-pt → similarity align →
+embed) with the shipped weights, and reports:
+
+  - detection rate (pipeline `found` over scenes that all contain a face)
+  - LFW-protocol verification accuracy / AUC / EER over the pipeline
+    embeddings (same/diff pairs across held-out identities)
+
+Writes e2e_quality.json next to the repo STATUS table. Pair with
+bench.py's throughput for the complete "fast AND correct" row.
+
+Usage: python scripts/e2e_quality.py [--n-ids 40 --per-id 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-ids", type=int, default=40)
+    ap.add_argument("--per-id", type=int, default=4)
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--backbone", default="resnet50v2")
+    ap.add_argument("--output", default=os.path.join(
+        os.path.dirname(__file__), "..", "e2e_quality.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    from deep_insight_face_tpu.api import FaceRecognition
+    from deep_insight_face_tpu.config import default_config
+    from deep_insight_face_tpu.data.synthetic import identity_scenes
+    from deep_insight_face_tpu.evaluation.verification import evaluate
+
+    import dataclasses
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, backbone=args.backbone),
+        detector=dataclasses.replace(cfg.detector, variant="tiny_s2d"),
+    )
+
+    fr = FaceRecognition(cfg)
+    from deep_insight_face_tpu.utils import pretrained
+
+    weights = {
+        "detector": pretrained.weights_path(
+            f"detector_{cfg.detector.variant}.npz") is not None,
+        "landmark": pretrained.weights_path("landmark_68.npz") is not None,
+        "embedder": pretrained.weights_path(
+            f"embedder_synth_{cfg.model.backbone}.npz") is not None,
+    }
+    print(f"shipped weights present: {weights}", flush=True)
+
+    t0 = time.time()
+    print(f"rendering {args.n_ids}×{args.per_id} held-out identity scenes "
+          f"@{args.size}…", flush=True)
+    # id_offset=20M: disjoint from embedder train (0..) AND eval (10M..)
+    imgs, labels = identity_scenes(
+        args.n_ids, args.per_id, size=args.size, seed=args.seed,
+        id_offset=20_000_000,
+    )
+    print(f"  done in {time.time()-t0:.0f}s", flush=True)
+
+    embs, founds = [], []
+    for s in range(0, len(imgs), args.batch):
+        chunk = imgs[s:s + args.batch]
+        if len(chunk) < args.batch:  # static-shape pipeline: pad the tail
+            pad = np.repeat(chunk[-1:], args.batch - len(chunk), axis=0)
+            e, _, f = fr.face_encodings_batch(np.concatenate([chunk, pad]))
+            e, f = e[: len(chunk)], f[: len(chunk)]
+        else:
+            e, _, f = fr.face_encodings_batch(chunk)
+        embs.append(e)
+        founds.append(f)
+    embs = np.concatenate(embs)
+    found = np.concatenate(founds)
+    det_rate = float(found.mean())
+    print(f"detection rate: {det_rate:.3f}", flush=True)
+
+    # LFW-protocol pairs over pipeline embeddings
+    rp = np.random.default_rng(7)
+    by_id = {}
+    for i, l in enumerate(labels):
+        by_id.setdefault(int(l), []).append(i)
+    e1, e2, issame = [], [], []
+    ids = sorted(by_id)
+    pairs_per_id = 4
+    for cid in ids:
+        idxs = by_id[cid]
+        for _ in range(pairs_per_id):
+            a, b = rp.choice(idxs, 2, replace=False)
+            e1.append(int(a)); e2.append(int(b)); issame.append(True)
+            other = int(rp.choice([c for c in ids if c != cid]))
+            e1.append(int(rp.choice(idxs)))
+            e2.append(int(rp.choice(by_id[other])))
+            issame.append(False)
+    interleaved = np.empty((2 * len(e1), embs.shape[1]), embs.dtype)
+    interleaved[0::2] = embs[np.array(e1)]
+    interleaved[1::2] = embs[np.array(e2)]
+    report = evaluate(
+        interleaved, np.array(issame),
+        nrof_folds=10, distance_metric=0, subtract_mean=True,
+    )
+    print(report.summary(), flush=True)
+
+    out = {
+        "weights_present": weights,
+        "n_identities": args.n_ids,
+        "scenes": int(len(imgs)),
+        "detection_rate": det_rate,
+        "verification": {
+            "accuracy": float(np.mean(report.accuracy)),
+            "accuracy_std": float(np.std(report.accuracy)),
+            "auc": float(report.auc),
+            "eer": float(report.eer),
+            "tar": float(report.val),
+            "far": float(report.far),
+        },
+        "pipeline": "detect->nms->landmark68->similarity_align->embed "
+                    f"(tiny_s2d + LandmarkNet + {cfg.model.backbone})",
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(out), flush=True)
+    with open(os.path.abspath(args.output), "w") as f:
+        json.dump(out, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
