@@ -382,6 +382,17 @@ def random_grayscale(
 AUGMENTATION_OPTIONS = ("default", "geometric", "non_geometric", "both", "all", "none")
 
 
+def _sometimes(key: jax.Array, prob: float, fn, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply ``fn`` to each image with probability ``prob`` (the device
+    equivalent of the reference's iaa.Sometimes wrappers, which gate
+    every op at 0.1-0.5 — an always-on composition is a far stronger
+    distribution shift than the reference ever applies and measurably
+    degrades ArcFace convergence on color-coded identities)."""
+    k1, k2 = jax.random.split(key)
+    on = jax.random.bernoulli(k1, prob, (x.shape[0],))
+    return jnp.where(on[:, None, None, None], fn(k2, x), x)
+
+
 def augment_batch(
     key: jax.Array,
     images: jnp.ndarray,
@@ -389,7 +400,9 @@ def augment_batch(
 ) -> jnp.ndarray:
     """Named augmentation stacks mirroring the reference's imgaug pipelines
     (reference: common/image_aug.py:21-30 AUGMENTATION_OPTIONS), composed
-    from jit-safe device ops. ``images`` are float [0, 255] NHWC."""
+    from jit-safe device ops with per-image application probabilities
+    (reference: Sometimes gates, common/image_aug.py:497-513).
+    ``images`` are float [0, 255] NHWC."""
     if option not in AUGMENTATION_OPTIONS:
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
@@ -397,22 +410,28 @@ def augment_batch(
     k = jax.random.split(key, 12)
     x = images.astype(jnp.float32)
     if option in ("geometric", "both", "all", "default"):
-        x = random_flip(k[0], x)
-        x = random_crop_resize(k[1], x)
+        x = random_flip(k[0], x)  # internally per-image p=0.5
+        x = _sometimes(k[1], 0.5, random_crop_resize, x)
     if option == "all":
-        x = random_affine(k[5], x)
+        x = _sometimes(k[5], 0.5, random_affine, x)
     if option in ("non_geometric", "both", "all", "default"):
-        x = random_brightness(k[2], x)
-        x = random_contrast(k[3], x)
-        x = random_saturation(k[4], x)
+        x = _sometimes(k[2], 0.5, random_brightness, x)
+        x = _sometimes(k[3], 0.5, random_contrast, x)
+        x = _sometimes(k[4], 0.5, random_saturation, x)
     if option in ("non_geometric", "both", "all"):
-        x = random_multiply(k[6], x, 0.8, 1.25)
-        x = random_additive_noise(k[7], x, max_scale=0.03 * 255.0)
+        x = _sometimes(k[6], 0.3,
+                       lambda kk, im: random_multiply(kk, im, 0.8, 1.25), x)
+        x = _sometimes(
+            k[7], 0.2,
+            lambda kk, im: random_additive_noise(kk, im, 0.03 * 255.0), x)
     if option == "all":
         # the heavy tail of the reference's "all" imgaug stack
         # (common/image_aug.py:368-456): blur, dropout, grayscale blend
         x = random_gaussian_blur(k[8], x, max_sigma=2.0, prob=0.3)
-        x = random_dropout(k[9], x, max_rate=0.05)
-        x = random_coarse_dropout(k[10], x, max_rate=0.05)
-        x = random_grayscale(k[11], x, max_alpha=0.7)
+        x = _sometimes(k[9], 0.3,
+                       lambda kk, im: random_dropout(kk, im, 0.05), x)
+        x = _sometimes(k[10], 0.3,
+                       lambda kk, im: random_coarse_dropout(kk, im, 0.05), x)
+        x = _sometimes(k[11], 0.34,
+                       lambda kk, im: random_grayscale(kk, im, 0.7), x)
     return x

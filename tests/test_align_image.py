@@ -218,6 +218,21 @@ def test_augment_all_stack_jits(rng):
     assert not np.allclose(out, np.asarray(x))
 
 
+def test_augment_stacks_leave_some_images_clean(rng):
+    """Per-image Sometimes-gating (reference: image_aug.py:497-513).
+
+    Regression: an always-on composition meant the embedder NEVER saw a
+    clean image during training — clean-input embeddings collapsed
+    (cos gap ~1e-6) while train metrics looked perfect. Each stack must
+    pass a measurable fraction of images through untouched."""
+    x = jnp.array(rng.uniform(0, 255, (64, 16, 16, 3)).astype(np.float32))
+    for opt in ("non_geometric", "default", "both"):
+        out = np.asarray(I.augment_batch(jax.random.key(11), x, opt))
+        untouched = np.isclose(out, np.asarray(x), atol=1e-4).all(axis=(1, 2, 3))
+        assert untouched.sum() >= 1, f"{opt}: no clean images in 64"
+        assert (~untouched).sum() >= 16, f"{opt}: stack barely engages"
+
+
 def test_augment_jit_compatible(rng):
     x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
     f = jax.jit(lambda k, im: I.augment_batch(k, im, "both"))
