@@ -1,70 +1,77 @@
-"""End-to-end smoke walkthrough of the framework.
+"""End-to-end demo of the framework on the procedural face world.
 
 The working version of the reference's Jupyter-style ``example.py``
 (reference: /root/reference/example.py — pulls generator batches and
 imshows them, with a TODO list admitting the pipeline is unverified).
-Builds a tiny synthetic identity dataset, then exercises: dataset scan →
-samplers → device prefetch → a few ArcFace train steps → LFW-protocol
-eval → gallery enrollment/identification → one-shot tasks.
 
-Run:  python example.py
+This walks the full user journey on real visual structure (parametric
+faces from data/synthetic.py, not noise):
+
+  dataset on disk → samplers → device prefetch → ArcFace training →
+  LFW-protocol verification on the trained model → gallery
+  enrollment/identification → one-shot eval → saved plot artifacts
+  (PCA of embeddings, training history, sample grid) under
+  ``./example_out/``.
+
+Run:  python example.py            (~2-4 min on CPU, faster on TPU)
+Exits non-zero if the trained model fails to verify (accuracy ≤ 0.8) —
+i.e. this is a correctness demo, not just plumbing.
 """
 
 import os
 import tempfile
 
 import numpy as np
-from PIL import Image
+
+N_IDS = 10
+PER_ID = 10
+SIZE = 48
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "example_out")
 
 
-def make_synthetic_dataset(root: str, n_ids: int = 8, imgs_per_id: int = 4,
-                           size: int = 32) -> None:
-    rng = np.random.default_rng(0)
-    for i in range(n_ids):
-        d = os.path.join(root, f"Person_{i}")
-        os.makedirs(d, exist_ok=True)
-        base = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
-        for j in range(1, imgs_per_id + 1):
-            noisy = np.clip(
-                base.astype(int) + rng.integers(-25, 25, base.shape), 0, 255
-            ).astype(np.uint8)
-            Image.fromarray(noisy).save(os.path.join(d, f"Person_{i}_{j:04d}.jpg"))
-
-
-def main() -> None:
+def main() -> int:
     import jax
 
     from deep_insight_face_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
     )
-    from deep_insight_face_tpu.data.dataset import get_dataset
+    from deep_insight_face_tpu.data.dataset import ImageLoader, get_dataset
     from deep_insight_face_tpu.data.pairs import generate_pairs
+    from deep_insight_face_tpu.data.synthetic import identity_directory
     from deep_insight_face_tpu.evaluation.evals import evaluate_lfw
     from deep_insight_face_tpu.gallery import FaceGallery
-    from deep_insight_face_tpu.ops.image import preprocess
     from deep_insight_face_tpu.oneshot import evaluate_oneshot
+    from deep_insight_face_tpu.ops.image import preprocess
     from deep_insight_face_tpu.training.trainer import Trainer
+    from deep_insight_face_tpu.visualizations import plot
 
     tmp = tempfile.mkdtemp()
     data_dir = os.path.join(tmp, "faces")
-    make_synthetic_dataset(data_dir)
-    print(f"dataset: {data_dir}")
+    print(f"rendering {N_IDS} procedural identities × {PER_ID} images…")
+    identity_directory(data_dir, N_IDS, PER_ID, size=SIZE, seed=0)
+    os.makedirs(OUT_DIR, exist_ok=True)
 
     cfg = Config(
-        model=ModelConfig(backbone="mobilenetv2", head="gdc", embedding_size=32,
-                          image_size=32, compute_dtype="float32",
-                          width_multiplier=0.35),
-        data=DataConfig(batch_size=16, augmentation="non_geometric",
+        model=ModelConfig(backbone="mobilenetv2", head="gdc",
+                          embedding_size=64, image_size=SIZE,
+                          compute_dtype="float32", width_multiplier=0.35),
+        data=DataConfig(batch_size=32, augmentation="none",
                         num_decode_threads=2),
-        train=TrainConfig(mode="arcface", num_classes=8, epochs=2,
-                          steps_per_epoch=4, learning_rate=1e-3,
-                          warmup_steps=0, weight_decay=0.0,
+        train=TrainConfig(mode="arcface", num_classes=N_IDS, epochs=16,
+                          steps_per_epoch=25, learning_rate=5e-3,
+                          warmup_steps=20, weight_decay=1e-4,
                           checkpoint_dir=os.path.join(tmp, "ckpt"),
-                          checkpoint_every=0, log_every=1),
+                          checkpoint_every=0, log_every=25),
     )
 
-    # --- train a few steps --------------------------------------------------
+    # --- train --------------------------------------------------------------
     trainer = Trainer(cfg, log_dir=os.path.join(tmp, "logs"))
+    # snapshot the untrained embeddings for the before/after PCA plot
+    from deep_insight_face_tpu.models import init_embedding_params
+
+    init_vars = init_embedding_params(
+        trainer.model, jax.random.key(0), SIZE
+    )
     result = trainer.fit_directory(data_dir)
     print(f"trained {result.steps} steps, final loss "
           f"{result.history[-1].get('epoch_loss'):.4f}")
@@ -81,36 +88,66 @@ def main() -> None:
     def embed_images(imgs):
         return np.asarray(jit_embed(variables, preprocess(imgs, "tf")))
 
-    # --- LFW-protocol eval --------------------------------------------------
-    generate_pairs(data_dir, num_folds=2, num_matches_mismatches=6,
+    # --- LFW-protocol verification on the trained model ---------------------
+    generate_pairs(data_dir, num_folds=2, num_matches_mismatches=10,
                    write_to_file=True, seed=1, rename_to_lfw=False)
     report = evaluate_lfw(
         embed_images, data_dir, os.path.join(data_dir, "pairs.txt"),
-        image_size=32,
+        image_size=SIZE,
     )
+    acc = float(np.mean(report.accuracy))
     print("verification:", report.summary())
 
-    # --- gallery ------------------------------------------------------------
+    # --- gallery: enroll one image per person, identify unseen probes -------
     classes = get_dataset(data_dir)
-    from deep_insight_face_tpu.data.dataset import ImageLoader
-
-    loader = ImageLoader(image_size=32)
-    gallery = FaceGallery(embedding_size=32)
+    loader = ImageLoader(image_size=SIZE)
+    gallery = FaceGallery(embedding_size=cfg.model.embedding_size)
     for c in classes:
         emb = embed_images(loader.load_batch([c.image_paths[0]]))
         gallery.add(c.name, emb[0])
-    probe = embed_images(loader.load_batch([classes[3].image_paths[1]]))
-    names, scores = gallery.identify(probe)
-    print(f"identify probe of {classes[3].name}: → {names[0]} "
-          f"(score {scores[0]:.3f})")
+    hits = 0
+    for c in classes:
+        probe = embed_images(loader.load_batch([c.image_paths[1]]))
+        names, scores = gallery.identify(probe)
+        hits += names[0] == c.name
+    print(f"gallery identification: {hits}/{len(classes)} probes correct")
 
     # --- one-shot -----------------------------------------------------------
     def embed_paths(paths):
         return embed_images(loader.load_batch(list(paths)))
 
-    acc = evaluate_oneshot(embed_paths, classes, n_way=4, k_tasks=20)
-    print(f"4-way one-shot accuracy: {acc:.2f} (random = 0.25)")
+    oneshot = evaluate_oneshot(embed_paths, classes, n_way=5, k_tasks=40)
+    print(f"5-way one-shot accuracy: {oneshot:.2f} (random = 0.20)")
+
+    # --- plot artifacts ------------------------------------------------------
+    all_paths, all_labels = [], []
+    for i, c in enumerate(classes):
+        all_paths += list(c.image_paths)
+        all_labels += [i] * len(c.image_paths)
+    embs = embed_paths(all_paths)
+    raw = loader.load_batch(all_paths)
+    embs_before = np.asarray(jit_embed(init_vars, preprocess(raw, "tf")))
+    plot.pca_visualization(
+        embs_before, embs, np.array(all_labels),
+        out_path=os.path.join(OUT_DIR, "embeddings_pca.png"),
+    )
+    plot.hist_plot_from_jsonl(
+        os.path.join(tmp, "logs", "arcface.jsonl"), ["loss"],
+        out_path=os.path.join(OUT_DIR, "training_history.png"),
+    )
+    sample = loader.load_batch([c.image_paths[0] for c in classes])
+    plot.grid_visualization(
+        sample.astype(np.uint8), cols=5,
+        out_path=os.path.join(OUT_DIR, "identities_grid.png"),
+    )
+    print(f"plots saved under {OUT_DIR}/")
+
+    ok = acc > 0.8 and hits >= len(classes) - 1
+    print(f"verification accuracy {acc:.3f} → "
+          + ("PASS (" if ok else "FAIL (need >0.8 and gallery hits; ")
+          + f"gallery {hits}/{len(classes)})")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
