@@ -44,7 +44,14 @@ def main() -> int:
     ap.add_argument("--backbone", default="mobilenetv2")
     ap.add_argument("--width", type=float, default=0.5)
     ap.add_argument("--embedding-size", type=int, default=128)
-    ap.add_argument("--augmentation", default="non_geometric")
+    # NOTE: default none — on the small procedural world ANY appearance
+    # augmentation makes BatchNorm batch-relative features pay off more
+    # than absolute ones; ArcFace then converges onto a batch-stat
+    # shortcut (train-acc 1.0) whose clean-input embeddings collapse to
+    # one direction (held-out AUC exactly 0.5). Verified by controlled
+    # A/B on chip: aug→cos-gap 2e-6, none→0.75. Use augmentation freely
+    # on real datasets where batch-relative shortcuts don't pay.
+    ap.add_argument("--augmentation", default="none")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--output", default=None,
@@ -182,6 +189,19 @@ def main() -> int:
         nrof_folds=10, distance_metric=0, subtract_mean=True,
     )
     print(report.summary(), flush=True)
+
+    # collapse guard: all-pairs cos gap must be non-degenerate, else the
+    # run hit the BatchNorm batch-stat shortcut (see --augmentation note)
+    en = embs / np.maximum(np.linalg.norm(embs, axis=1, keepdims=True), 1e-12)
+    cos = en @ en.T
+    same_m = ev_labels[:, None] == ev_labels[None, :]
+    np.fill_diagonal(same_m, False)
+    gap = float(cos[same_m].mean() - cos[~same_m & ~np.eye(len(en), dtype=bool)].mean())
+    print(f"held-out cos gap (same-diff): {gap:.5f}", flush=True)
+    if gap < 0.05:
+        print("ERROR: embedding geometry degenerate (BN batch-stat "
+              "shortcut) — refusing to ship these weights", flush=True)
+        return 1
 
     meta = {
         "model": dataclasses.asdict(cfg.model),
