@@ -594,3 +594,88 @@ def identity_scenes(
             labels[k] = cid
             k += 1
     return imgs, labels
+
+
+def aligned_identity_dataset(
+    n_ids: int,
+    per_id: int,
+    size: int = 112,
+    seed: int = 0,
+    id_offset: int = 0,
+    five_noise_px: float = 2.5,
+    clutter: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Identity renders in SERVING geometry: each face is rendered with
+    pose/scale/position jitter in a larger frame (over detection-scene
+    style clutter), then similarity-warped so its (analytic) 5 points —
+    perturbed by ``five_noise_px`` of landmark noise at 112-scale,
+    matching LandmarkNet's measured error (NME 0.016 ≈ 1.8 px) — land on
+    the ArcFace template: the exact distribution the fused pipeline's
+    landmark-align stage produces, including its alignment jitter.
+    Train-like-you-serve: an embedder trained on these crops sees no
+    geometry or context shift behind the detector+LandmarkNet at
+    serving time.
+
+    Returns (images uint8 (n_ids·per_id, size, size, 3), labels int32).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.ops.align import (
+        ARCFACE_TEMPLATE_112, umeyama_similarity, warp_affine,
+    )
+
+    rng = np.random.default_rng(seed + 1543)
+    frame = int(size * 1.6)
+    n = n_ids * per_id
+    frames = np.empty((n, frame, frame, 3), np.uint8)
+    fives = np.empty((n, 5, 2), np.float32)
+    labels = np.empty((n,), np.int32)
+    yy, xx = np.meshgrid(np.arange(frame), np.arange(frame), indexing="ij")
+    k = 0
+    for cid in range(n_ids):
+        p = FaceParams.from_seed(id_offset + cid)
+        for _ in range(per_id):
+            bg = None
+            if clutter:
+                bg = np.clip(
+                    rng.uniform(0.05, 0.95, 3)[None, None]
+                    + rng.normal(0, 0.05, (frame, frame, 1)), 0, 1,
+                )
+                for _ in range(int(rng.integers(2, 5))):
+                    cx, cy = rng.uniform(0, frame, 2)
+                    rx, ry = rng.uniform(0.05, 0.3, 2) * frame
+                    if rng.random() < 0.5:
+                        m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
+                    else:
+                        m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+                    bg[m] = np.clip(
+                        rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1
+                    )
+            img, lm = render_face(
+                p, frame, rng,
+                scale=float(rng.uniform(0.30, 0.44)) * frame,
+                center=(
+                    frame / 2 + float(rng.uniform(-0.08, 0.08)) * frame,
+                    frame / 2 + float(rng.uniform(-0.08, 0.08)) * frame,
+                ),
+                background=bg,
+            )
+            frames[k] = img
+            five = to_five_points(lm)
+            # serving-time landmark error, scaled to this frame
+            five += rng.normal(0, five_noise_px * frame / 112.0 / 1.6,
+                               five.shape)
+            fives[k] = five
+            labels[k] = cid
+            k += 1
+
+    tpl = np.asarray(ARCFACE_TEMPLATE_112, np.float32) * (size / 112.0)
+    out = np.empty((n, size, size, 3), np.uint8)
+    warp = jax.jit(lambda im, m: warp_affine(im, m, (size, size)))
+    mats_fn = jax.jit(jax.vmap(lambda f: umeyama_similarity(f, jnp.asarray(tpl))))
+    for s in range(0, n, 256):
+        m = mats_fn(jnp.asarray(fives[s:s + 256]))
+        crops = warp(jnp.asarray(frames[s:s + 256]).astype(jnp.float32), m)
+        out[s:s + 256] = np.clip(np.asarray(crops), 0, 255).astype(np.uint8)
+    return out, labels

@@ -52,6 +52,11 @@ def main() -> int:
     # A/B on chip: aug→cos-gap 2e-6, none→0.75. Use augmentation freely
     # on real datasets where batch-relative shortcuts don't pay.
     ap.add_argument("--augmentation", default="none")
+    # aligned: render in serving geometry (ArcFace-template-aligned
+    # crops, data/synthetic.aligned_identity_dataset) so the embedder
+    # sees exactly what the fused pipeline's landmark-align stage emits.
+    ap.add_argument("--world", default="aligned",
+                    choices=["aligned", "plain"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--output", default=None,
@@ -66,7 +71,9 @@ def main() -> int:
     from deep_insight_face_tpu.config import (
         Config, DataConfig, ModelConfig, TrainConfig,
     )
-    from deep_insight_face_tpu.data.synthetic import identity_dataset
+    from deep_insight_face_tpu.data.synthetic import (
+        aligned_identity_dataset, identity_dataset,
+    )
     from deep_insight_face_tpu.evaluation.verification import evaluate
     from deep_insight_face_tpu.models import build_embedding_model
     from deep_insight_face_tpu.ops.image import augment_batch, preprocess
@@ -79,11 +86,12 @@ def main() -> int:
     print(f"rendering {args.n_ids}×{args.per_id} train + "
           f"{args.eval_ids}×{args.eval_per_id} held-out identities…",
           flush=True)
-    tr_imgs, tr_labels = identity_dataset(
+    make = aligned_identity_dataset if args.world == "aligned" else identity_dataset
+    tr_imgs, tr_labels = make(
         args.n_ids, args.per_id, size=args.size, seed=args.seed
     )
     # held-out identities: disjoint FaceParams seed space
-    ev_imgs, ev_labels = identity_dataset(
+    ev_imgs, ev_labels = make(
         args.eval_ids, args.eval_per_id, size=args.size,
         seed=args.seed + 1, id_offset=10_000_000,
     )
