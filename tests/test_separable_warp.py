@@ -63,3 +63,40 @@ def test_batched_boxes_independent(rng):
                                 jnp.array(boxes[i : i + 1]), (16, 16))
         )[0]
         np.testing.assert_allclose(out[i], single, atol=1e-4)
+
+
+def test_mxu_warp_matches_gather_on_scale_translate(rng):
+    # axis-aligned case: the two-pass decomposition is exact
+    img = rng.uniform(0, 255, (3, 64, 64, 3)).astype(np.float32)
+    m = np.tile(np.array([[[0.8, 0.0, 4.0], [0.0, 1.1, -2.0]]], np.float32),
+                (3, 1, 1))
+    ref = np.asarray(A.warp_affine(jnp.array(img), jnp.array(m), (48, 48)))
+    out = np.asarray(A.warp_affine_mxu(jnp.array(img), jnp.array(m), (48, 48)))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_mxu_warp_close_under_rotation(rng):
+    # rotations: two-pass bilinear differs from direct 4-tap by at most
+    # gradient x tan(theta) px of horizontal skew on the vertical taps
+    img = rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    ms = []
+    for th in (0.15, -0.25):
+        c, s = np.cos(th) * 0.95, np.sin(th) * 0.95
+        ms.append([[c, -s, 6.0], [s, c, 3.0]])
+    m = np.asarray(ms, np.float32)
+    ref = np.asarray(A.warp_affine(jnp.array(img), jnp.array(m), (56, 56)))
+    out = np.asarray(A.warp_affine_mxu(jnp.array(img), jnp.array(m), (56, 56)))
+    inner_r, inner_o = ref[:, 3:-3, 3:-3], out[:, 3:-3, 3:-3]
+    assert np.mean(np.abs(inner_r - inner_o)) < 4.0  # on white noise
+    assert np.corrcoef(inner_r.ravel(), inner_o.ravel())[0, 1] > 0.99
+
+
+def test_mxu_warp_zero_border(rng):
+    img = jnp.ones((1, 32, 32, 3), jnp.float32) * 200.0
+    # forward shift +24 in x: output columns < 24 map to src x < 0
+    m = jnp.asarray([[[1.0, 0.0, 24.0], [0.0, 1.0, 0.0]]])
+    out = np.asarray(A.warp_affine_mxu(img, m, (32, 32)))
+    assert np.allclose(out[:, :, :23], 0.0)  # outside the source: 0
+    assert np.allclose(out[:, :, 25:], 200.0)  # in-range region
+    ref = np.asarray(A.warp_affine(img, m, (32, 32)))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
