@@ -28,7 +28,7 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "traces", "serving"))
     args = ap.parse_args()
@@ -78,7 +78,9 @@ def main() -> int:
     x = jnp.asarray(rng.integers(
         0, 255, (args.batch, 416, 416, 3), dtype=np.uint8)).astype(jnp.float32)
 
+    print("compiling the fused program…", flush=True)
     float(bench(variables, x))  # compile outside the trace
+    print("compiled; tracing one chained call", flush=True)
     out_dir = os.path.abspath(args.out)
     os.makedirs(out_dir, exist_ok=True)
     with profile_trace(out_dir):
