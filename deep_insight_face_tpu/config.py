@@ -99,6 +99,12 @@ class TrainConfig:
     # instead of materializing (B, C) logits in HBM — use for very large
     # identity counts (ops/margin_softmax.py).
     flash_ce: bool = False
+    # After this many steps, train with BatchNorm in running-average mode
+    # (BN-denial: gradients can't exploit per-batch statistics; running
+    # stats keep tracking via a stop-gradient side pass). 0 = never.
+    # Guards against the BN shortcut MobileNetV2 ArcFace converges to on
+    # small synthetic worlds (see parallel/train_step.make_train_step).
+    bn_freeze_step: int = 0
     num_classes: int = 1000  # identities for the classification head
     warmup_steps: int = 100
     grad_clip_norm: float = 0.0

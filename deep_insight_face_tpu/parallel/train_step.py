@@ -146,8 +146,17 @@ def place_state(state: TrainState, cfg: Config, mesh) -> TrainState:
 # ---------------------------------------------------------------------------
 
 
-def _embed(apply_fn, params, batch_stats, images, rng, train: bool):
+def _embed(apply_fn, params, batch_stats, images, rng, train: bool,
+           bn_frozen: bool = False):
     variables = {"params": params, "batch_stats": batch_stats}
+    if train and bn_frozen:
+        # BN-denial phase: the loss forward sees only RUNNING statistics,
+        # so gradients cannot exploit per-batch statistic fluctuations —
+        # the "BN shortcut" (train-acc 1.0, constant eval function) that
+        # MobileNetV2 ArcFace converges to on small synthetic worlds is
+        # impossible by construction. Running stats keep tracking via a
+        # stop-gradient side pass in train_step.
+        return apply_fn(variables, images, train=False), batch_stats
     if train:
         out, mut = apply_fn(
             variables, images, train=True,
@@ -155,6 +164,17 @@ def _embed(apply_fn, params, batch_stats, images, rng, train: bool):
         )
         return out, mut["batch_stats"]
     return apply_fn(variables, images, train=False), batch_stats
+
+
+def _batch_images(batch) -> jnp.ndarray:
+    """All image tensors of a batch, concatenated (for BN side updates)."""
+    if "images" in batch:
+        return batch["images"]
+    if "images_a" in batch:
+        return jnp.concatenate([batch["images_a"], batch["images_b"]], 0)
+    return jnp.concatenate(
+        [batch["anchor"], batch["positive"], batch["negative"]], 0
+    )
 
 
 def _classifier_loss(cfg: Config, emb, kernel, labels):
@@ -185,8 +205,16 @@ def _classifier_loss(cfg: Config, emb, kernel, labels):
     return jnp.mean(nll), {"accuracy": acc}
 
 
-def make_train_step(cfg: Config, mesh=None):
-    """Build the jitted (state, batch) → (state, metrics) step for cfg.train.mode."""
+def make_train_step(cfg: Config, mesh=None, bn_frozen: bool = False):
+    """Build the jitted (state, batch) → (state, metrics) step for cfg.train.mode.
+
+    ``bn_frozen=True`` builds the BN-denial variant: the loss forward
+    runs BatchNorm in running-average mode (batch statistics are
+    unavailable to the gradient), while running stats continue tracking
+    through a stop-gradient side pass. Use after a warm phase
+    (TrainConfig.bn_freeze_step) to train BN-shortcut-prone
+    architectures (MobileNetV2) to honest per-sample features.
+    """
     t = cfg.train
     mode = t.mode
     data_axis = mesh.axis_names[0] if mesh is not None else None
@@ -223,7 +251,7 @@ def make_train_step(cfg: Config, mesh=None):
             both = jnp.concatenate([batch["images_a"], batch["images_b"]], 0)
             emb, new_stats = _embed(
                 state.apply_fn, params, state.batch_stats, constrain_data(both),
-                rng, True,
+                rng, True, bn_frozen,
             )
             ea, eb = emb[:n], emb[n:]
             from deep_insight_face_tpu.ops.distances import euclidean_distance
@@ -240,7 +268,7 @@ def make_train_step(cfg: Config, mesh=None):
             )
             emb, new_stats = _embed(
                 state.apply_fn, params, state.batch_stats,
-                constrain_data(all_imgs), rng, True,
+                constrain_data(all_imgs), rng, True, bn_frozen,
             )
             loss = L.naive_triplet_loss(
                 emb[:n], emb[n : 2 * n], emb[2 * n :], alpha=t.margin
@@ -248,7 +276,7 @@ def make_train_step(cfg: Config, mesh=None):
         else:
             emb, new_stats = _embed(
                 state.apply_fn, params, state.batch_stats,
-                constrain_data(batch["images"]), rng, True,
+                constrain_data(batch["images"]), rng, True, bn_frozen,
             )
             labels = batch["labels"]
             if mode in CLASSIFIER_MODES:
@@ -292,6 +320,18 @@ def make_train_step(cfg: Config, mesh=None):
         )
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if bn_frozen:
+            # stop-gradient side pass: keep running stats tracking the
+            # (drifting) activations without exposing batch stats to the
+            # loss
+            _, mut = state.apply_fn(
+                {"params": jax.lax.stop_gradient(new_params),
+                 "batch_stats": state.batch_stats},
+                constrain_data(_batch_images(batch)),
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": step_rng},
+            )
+            new_stats = mut["batch_stats"]
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1,

@@ -57,6 +57,9 @@ def main() -> int:
     # sees exactly what the fused pipeline's landmark-align stage emits.
     ap.add_argument("--world", default="aligned",
                     choices=["aligned", "plain"])
+    # BN-denial phase start (see TrainConfig.bn_freeze_step). MobileNetV2
+    # needs it on this world; ResNetV2 trains clean without it.
+    ap.add_argument("--bn-freeze-step", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--output", default=None,
@@ -116,24 +119,31 @@ def main() -> int:
     print(f"{args.backbone} w={args.width}: {n_params/1e6:.2f}M params",
           flush=True)
     step = make_train_step(cfg)
+    step_frozen = (make_train_step(cfg, bn_frozen=True)
+                   if args.bn_freeze_step > 0 else None)
 
     chunk = min(8, args.steps)
     aug_opt = cfg.data.augmentation
 
-    @jax.jit
-    def multi_step(state, images_u8, labels, key):
-        metrics = None
-        for j in range(chunk):
-            x = images_u8[j].astype(jnp.float32)
-            if aug_opt != "none":
-                key, sub = jax.random.split(key)
-                x = augment_batch(sub, x, aug_opt)
-            batch = {
-                "images": preprocess(x, cfg.data.preprocess_mode),
-                "labels": labels[j],
-            }
-            state, metrics = step(state, batch)
-        return state, metrics
+    def make_multi(step_fn):
+        @jax.jit
+        def multi_step(state, images_u8, labels, key):
+            metrics = None
+            for j in range(chunk):
+                x = images_u8[j].astype(jnp.float32)
+                if aug_opt != "none":
+                    key, sub = jax.random.split(key)
+                    x = augment_batch(sub, x, aug_opt)
+                batch = {
+                    "images": preprocess(x, cfg.data.preprocess_mode),
+                    "labels": labels[j],
+                }
+                state, metrics = step_fn(state, batch)
+            return state, metrics
+        return multi_step
+
+    multi_warm = make_multi(step)
+    multi_frozen = make_multi(step_frozen) if step_frozen else None
 
     r = np.random.default_rng(args.seed)
     n_train = len(tr_imgs)
@@ -141,6 +151,11 @@ def main() -> int:
     n_chunks = args.steps // chunk
     for i in range(n_chunks):
         idx = r.integers(0, n_train, (chunk, args.batch))
+        multi_step = (
+            multi_frozen
+            if multi_frozen is not None and i * chunk >= args.bn_freeze_step
+            else multi_warm
+        )
         state, metrics = multi_step(
             state,
             jnp.asarray(tr_imgs[idx]),

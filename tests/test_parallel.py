@@ -226,3 +226,46 @@ def test_sharded_flash_grads_match_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(g_sh[1]), np.asarray(g_si[1]), atol=1e-5
         )
+
+
+def test_bn_frozen_step_denies_batch_stats_but_tracks_them(rng):
+    """BN-denial training phase (TrainConfig.bn_freeze_step): the loss
+    forward must be a pure function of running statistics — identical
+    embeddings whether the rest of the batch changes — while the side
+    pass keeps the running stats tracking."""
+    cfg = _tiny_cfg()
+    model = build_embedding_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0))
+    step = make_train_step(cfg, bn_frozen=True)
+    batch = _batch(rng, cfg)
+    before = jax.tree.map(lambda x: np.asarray(x), state.batch_stats)
+    p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+
+    # denial property (checked BEFORE the donating step deletes buffers):
+    # an image's embedding must not depend on the other batch members
+    # during the frozen loss forward
+    from deep_insight_face_tpu.parallel.train_step import _embed
+
+    params = {k: v for k, v in state.params.items() if k != "classifier"}
+    imgs = batch["images"]
+    e1, _ = _embed(model.apply, params, state.batch_stats, imgs,
+                   jax.random.key(1), True, bn_frozen=True)
+    shuffled = jnp.concatenate([imgs[8:], imgs[:8]], 0)
+    e2, _ = _embed(model.apply, params, state.batch_stats, shuffled,
+                   jax.random.key(2), True, bn_frozen=True)
+    np.testing.assert_allclose(
+        np.asarray(e1[0]), np.asarray(e2[8]), atol=1e-5
+    )
+
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params moved
+    p1 = jax.tree.leaves(state2.params)[0]
+    assert not np.allclose(p0, np.asarray(p1))
+    # running stats STILL track (side pass ran)
+    changed = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before),
+                        jax.tree.leaves(state2.batch_stats))
+    )
+    assert changed, "side pass did not update running stats"
