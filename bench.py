@@ -55,7 +55,9 @@ def main() -> None:
     # serving-tier detector (tiny YOLOv3): the full Darknet-53 detector at
     # 66 GFLOP/img caps throughput below the 5k target on v5e physics
     # alone; both variants ship, this benchmarks the deployment config
-    cfg = cfg.replace(detector=dataclasses.replace(cfg.detector, variant="tiny_s2d"))
+    det_size = int(os.environ.get("BENCH_DETECTOR_INPUT", "416"))
+    cfg = cfg.replace(detector=dataclasses.replace(
+        cfg.detector, variant="tiny_s2d", input_size=det_size))
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     platform = jax.devices()[0].platform
     chain = 8 if platform == "tpu" else 2  # chained steps inside the jit
@@ -74,7 +76,8 @@ def main() -> None:
         )
 
     det_model, _ = make_detector_model(cfg.detector)
-    det_vars = pretrained.load_detector_variables(cfg.detector.variant)
+    det_vars = pretrained.load_detector_variables(
+        cfg.detector.variant, cfg.detector.input_size)
     weights_used["detector"] = "trained" if det_vars is not None else "random"
     if det_vars is None:
         det_vars = det_model.init(
@@ -151,6 +154,7 @@ def main() -> None:
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(faces_per_sec / REFERENCE_FACES_PER_SEC, 3),
                 "batch": batch, "detector": cfg.detector.variant,
+                "detector_input": det_size,
                 "align": "landmark",
                 "weights": weights_used,
                 "batch_latency_ms": round(p50_latency_ms, 2),

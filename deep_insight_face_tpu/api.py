@@ -115,7 +115,7 @@ class FaceRecognition:
             )
 
             detector_variables = load_detector_variables(
-                self.cfg.detector.variant
+                self.cfg.detector.variant, self.cfg.detector.input_size
             )
         self._detector_variables = detector_variables
         self.landmark_model = LandmarkNet()

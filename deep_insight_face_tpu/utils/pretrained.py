@@ -33,10 +33,21 @@ def load_landmark_variables() -> Optional[Any]:
     return load_npz(p) if p else None
 
 
-def load_detector_variables(variant: str = "tiny_s2d") -> Optional[Any]:
-    """Shipped YOLO face-detector variables for ``variant``, or None."""
+def load_detector_variables(
+    variant: str = "tiny_s2d", input_size: Optional[int] = None
+) -> Optional[Any]:
+    """Shipped YOLO face-detector variables for ``variant``, or None.
+
+    Prefers weights trained at ``input_size``
+    (``detector_<variant>_<size>.npz``); the YOLO net is fully
+    convolutional so the unsuffixed 416-trained file is a usable
+    fallback at other sizes (anchors are absolute px)."""
     from deep_insight_face_tpu.utils.weights import load_npz
 
+    if input_size is not None:
+        p = weights_path(f"detector_{variant}_{input_size}.npz")
+        if p:
+            return load_npz(p)
     p = weights_path(f"detector_{variant}.npz")
     return load_npz(p) if p else None
 

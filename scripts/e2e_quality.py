@@ -40,6 +40,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="resnet50v2")
+    ap.add_argument("--detector-input", type=int, default=416)
     ap.add_argument("--output", default=os.path.join(
         os.path.dirname(__file__), "..", "e2e_quality.json"))
     args = ap.parse_args()
@@ -56,15 +57,19 @@ def main() -> int:
     cfg = default_config()
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, backbone=args.backbone),
-        detector=dataclasses.replace(cfg.detector, variant="tiny_s2d"),
+        detector=dataclasses.replace(cfg.detector, variant="tiny_s2d",
+                                     input_size=args.detector_input),
     )
 
     fr = FaceRecognition(cfg)
     from deep_insight_face_tpu.utils import pretrained
 
     weights = {
-        "detector": pretrained.weights_path(
-            f"detector_{cfg.detector.variant}.npz") is not None,
+        "detector": (
+            pretrained.weights_path(
+                f"detector_{cfg.detector.variant}_{cfg.detector.input_size}.npz")
+            or pretrained.weights_path(f"detector_{cfg.detector.variant}.npz")
+        ) is not None,
         "landmark": pretrained.weights_path("landmark_68.npz") is not None,
         "embedder": pretrained.weights_path(
             f"embedder_synth_{cfg.model.backbone}.npz") is not None,

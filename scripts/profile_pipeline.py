@@ -59,7 +59,8 @@ def main() -> int:
     ) or init_embedding_params(embed_model, jax.random.key(0),
                                cfg.model.image_size)
     det_model, _ = make_detector_model(cfg.detector)
-    det_vars = pretrained.load_detector_variables(cfg.detector.variant)
+    det_vars = pretrained.load_detector_variables(
+        cfg.detector.variant, cfg.detector.input_size)
     if det_vars is None:
         det_vars = det_model.init(jax.random.key(1), jnp.zeros(
             (1, cfg.detector.input_size, cfg.detector.input_size, 3)))
