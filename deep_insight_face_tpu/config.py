@@ -38,6 +38,9 @@ class ModelConfig:
     l2_normalize: bool = True
     dropout_rate: float = 0.3
     width_multiplier: float = 1.0
+    # "batch" (Keras-port compatible) | "group" (batch-independent —
+    # immune to the BN batch-statistics shortcut; mobilenetv2 + gdc only)
+    norm: str = "batch"
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:

@@ -164,6 +164,7 @@ class _InvertedResidual(nn.Module):
     features: int
     stride: int
     expand: int
+    norm: str = "batch"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -174,7 +175,8 @@ class _InvertedResidual(nn.Module):
         if self.expand != 1:
             y = ConvBN(
                 inp * self.expand, (1, 1), activation=nn.relu6,
-                epsilon=1e-3, dtype=self.dtype, param_dtype=self.param_dtype,
+                epsilon=1e-3, norm=self.norm,
+                dtype=self.dtype, param_dtype=self.param_dtype,
                 name="expand",
             )(y, train)
         y = nn.Conv(
@@ -183,13 +185,14 @@ class _InvertedResidual(nn.Module):
             feature_group_count=y.shape[-1], use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name="dw_conv",
         )(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, epsilon=1e-3,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="dw_bn",
-        )(y)
+        from deep_insight_face_tpu.models.layers import make_norm
+
+        y = make_norm(self.norm, 1e-3, self.dtype, self.param_dtype,
+                      "dw_bn", y.shape[-1], train)(y)
         y = nn.relu6(y)
         y = ConvBN(
             self.features, (1, 1), activation=None, epsilon=1e-3,
+            norm=self.norm,
             dtype=self.dtype, param_dtype=self.param_dtype, name="project",
         )(y, train)
         if self.stride == 1 and inp == self.features:
@@ -199,6 +202,7 @@ class _InvertedResidual(nn.Module):
 
 class MobileNetV2(nn.Module):
     width: float = 1.0
+    norm: str = "batch"  # "group": batch-independent, BN-shortcut-immune
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     # (expand, features, repeats, first_stride)
@@ -218,7 +222,7 @@ class MobileNetV2(nn.Module):
         first = _make_divisible(32 * self.width)
         x = ConvBN(
             first, (3, 3), strides=(2, 2), padding=_correct_pad(x.shape[1:3]),
-            activation=nn.relu6, epsilon=1e-3,
+            activation=nn.relu6, epsilon=1e-3, norm=self.norm,
             dtype=self.dtype, param_dtype=self.param_dtype, name="stem",
         )(x, train)
         for i, (expand, features, repeats, stride) in enumerate(self.config):
@@ -228,13 +232,14 @@ class MobileNetV2(nn.Module):
                     features=feats,
                     stride=stride if r == 0 else 1,
                     expand=expand,
+                    norm=self.norm,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"block{i}_{r}",
                 )(x, train)
         last = _make_divisible(1280 * max(self.width, 1.0))
         x = ConvBN(
-            last, (1, 1), activation=nn.relu6, epsilon=1e-3,
+            last, (1, 1), activation=nn.relu6, epsilon=1e-3, norm=self.norm,
             dtype=self.dtype, param_dtype=self.param_dtype, name="head_conv",
         )(x, train)
         return x
@@ -270,8 +275,8 @@ BACKBONES = {
     "resnet50v2": lambda dtype, param_dtype, remat=False, **kw: ResNetV2(
         dtype=dtype, param_dtype=param_dtype, remat=remat
     ),
-    "mobilenetv2": lambda dtype, param_dtype, width=1.0, **kw: MobileNetV2(
-        width=width, dtype=dtype, param_dtype=param_dtype
-    ),
+    "mobilenetv2": lambda dtype, param_dtype, width=1.0, norm="batch", **kw:
+        MobileNetV2(width=width, norm=norm, dtype=dtype,
+                    param_dtype=param_dtype),
     "vgg16": lambda dtype, param_dtype, **kw: VGG16(dtype=dtype, param_dtype=param_dtype),
 }

@@ -37,6 +37,7 @@ class EmbeddingModel(nn.Module):
     compute_dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     width_multiplier: float = 1.0
+    norm: str = "batch"
     remat: bool = False
 
     @nn.compact
@@ -52,12 +53,18 @@ class EmbeddingModel(nn.Module):
                 name="inception",
             )(images, train)
         else:
-            features = BACKBONES[self.backbone](
+            backbone_kw: Dict[str, Any] = dict(
                 dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 width=self.width_multiplier,
                 remat=self.remat,
-            )(images, train)
+            )
+            if self.norm != "batch":
+                # only mobilenetv2 supports alternate norms (the others
+                # keep BatchNorm for weight-port parity) — a TypeError
+                # here means the combination is unsupported
+                backbone_kw["norm"] = self.norm
+            features = BACKBONES[self.backbone](**backbone_kw)(images, train)
             head_cls = HEADS[self.head]
             head_kw: Dict[str, Any] = dict(
                 embedding_size=self.embedding_size,
@@ -67,6 +74,7 @@ class EmbeddingModel(nn.Module):
             )
             if head_cls is HEADS["gdc"]:
                 head_kw["l2_output"] = False  # normalization handled below
+                head_kw["norm"] = self.norm
             emb = head_cls(**head_kw, name="head")(features, train)
         emb = emb.astype(jnp.float32)
         return l2_normalize(emb) if self.l2_normalized else emb
@@ -82,6 +90,7 @@ def build_embedding_model(cfg: ModelConfig) -> EmbeddingModel:
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         param_dtype=jnp.dtype(cfg.param_dtype),
         width_multiplier=cfg.width_multiplier,
+        norm=cfg.norm,
     )
 
 

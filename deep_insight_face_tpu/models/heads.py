@@ -75,16 +75,18 @@ class GDCHead(nn.Module):
     embedding_size: int = 128
     dropout_rate: float = 0.3
     l2_output: bool = True
+    norm: str = "batch"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from deep_insight_face_tpu.models.layers import make_norm
+
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = nn.Conv(512, (1, 1), use_bias=False, name="conv_512", **kw)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, epsilon=_BN_EPS, name="bn1", **kw
-        )(x)
+        x = make_norm(self.norm, _BN_EPS, self.dtype, self.param_dtype,
+                      "bn1", 512, train)(x)
         x = PReLU2D(param_dtype=self.param_dtype)(x)
         # global depthwise conv: kernel covers the whole feature map
         h, w = x.shape[1], x.shape[2]
@@ -93,9 +95,8 @@ class GDCHead(nn.Module):
             feature_group_count=x.shape[-1], use_bias=False,
             name="gdc_dw", **kw,
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, epsilon=_BN_EPS, name="bn2", **kw
-        )(x)
+        x = make_norm(self.norm, _BN_EPS, self.dtype, self.param_dtype,
+                      "bn2", x.shape[-1], train)(x)
         x = nn.Conv(self.embedding_size, (1, 1), use_bias=False, name="conv_emb", **kw)(x)
         if 0.0 < self.dropout_rate < 1.0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

@@ -15,8 +15,33 @@ from flax import linen as nn
 Dtype = Any
 
 
+def group_count(features: int, preferred: int = 32) -> int:
+    """Largest group count ≤ preferred dividing ``features``."""
+    for g in (preferred, 16, 8, 4, 2):
+        if g <= preferred and features % g == 0:
+            return g
+    return 1
+
+
+def make_norm(norm: str, epsilon: float, dtype, param_dtype, name: str,
+              features: int, train: bool):
+    """Normalization layer factory: "batch" (running stats, weight-port
+    compatible) or "group" (batch-independent — immune to the BN
+    batch-statistics shortcut ArcFace can converge to on small worlds;
+    see parallel/train_step.make_train_step)."""
+    if norm == "group":
+        return nn.GroupNorm(
+            num_groups=group_count(features), epsilon=epsilon,
+            dtype=dtype, param_dtype=param_dtype, name=name,
+        )
+    return nn.BatchNorm(
+        use_running_average=not train, epsilon=epsilon,
+        dtype=dtype, param_dtype=param_dtype, name=name,
+    )
+
+
 class ConvBN(nn.Module):
-    """Conv → BatchNorm → (optional) activation."""
+    """Conv → BatchNorm/GroupNorm → (optional) activation."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -25,6 +50,7 @@ class ConvBN(nn.Module):
     use_bias: bool = False
     activation: Optional[Callable] = nn.relu
     epsilon: float = 1.001e-5
+    norm: str = "batch"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -40,13 +66,8 @@ class ConvBN(nn.Module):
             param_dtype=self.param_dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            epsilon=self.epsilon,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            name="bn",
-        )(x)
+        x = make_norm(self.norm, self.epsilon, self.dtype, self.param_dtype,
+                      "bn", self.features, train)(x)
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -46,6 +46,11 @@ def letterbox(
     if not batched:
         images = images[None]
     n, h, w, c = images.shape
+    if h == w == target:
+        # identity fast path (shapes are static): the resample at scale 1
+        # still cost ~4 ms/batch-128 @416² on TPU
+        meta = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+        return (images if batched else images[0]), meta
     scale = min(target / h, target / w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     resized = jax.image.resize(images, (n, nh, nw, c), method="bilinear")

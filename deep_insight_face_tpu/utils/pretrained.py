@@ -75,7 +75,8 @@ def load_matching_embedder(model_cfg) -> Optional[Any]:
     import dataclasses
     import json
 
-    p = weights_path(f"embedder_synth_{model_cfg.backbone}.npz")
+    suffix = "_gn" if getattr(model_cfg, "norm", "batch") == "group" else ""
+    p = weights_path(f"embedder_synth_{model_cfg.backbone}{suffix}.npz")
     if p is None:
         return None
     sidecar = p.replace(".npz", ".json")
@@ -85,7 +86,7 @@ def load_matching_embedder(model_cfg) -> Optional[Any]:
         shipped = json.load(f).get("model", {})
     want = dataclasses.asdict(model_cfg)
     checked = ("backbone", "head", "embedding_size", "image_size",
-               "width_multiplier", "channels")
+               "width_multiplier", "channels", "norm")
     if any(k in shipped and shipped[k] != want.get(k) for k in checked):
         return None
     from deep_insight_face_tpu.utils.weights import load_npz

@@ -60,6 +60,10 @@ def main() -> int:
     # BN-denial phase start (see TrainConfig.bn_freeze_step). MobileNetV2
     # needs it on this world; ResNetV2 trains clean without it.
     ap.add_argument("--bn-freeze-step", type=int, default=0)
+    # "group": batch-independent normalization (mobilenetv2+gdc) — the
+    # architectural fix for the BN shortcut; weights are NOT Keras-port
+    # compatible (different norm layers), so it is a separate config.
+    ap.add_argument("--norm", default="batch", choices=["batch", "group"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--output", default=None,
@@ -68,7 +72,9 @@ def main() -> int:
     if args.output is None:
         args.output = os.path.join(
             os.path.dirname(__file__), "..", "deep_insight_face_tpu",
-            "weights", f"embedder_synth_{args.backbone}.npz",
+            "weights",
+            f"embedder_synth_{args.backbone}"
+            + ("_gn" if args.norm == "group" else "") + ".npz",
         )
 
     from deep_insight_face_tpu.config import (
@@ -104,7 +110,7 @@ def main() -> int:
         model=ModelConfig(
             backbone=args.backbone, head="gdc",
             embedding_size=args.embedding_size, image_size=args.size,
-            width_multiplier=args.width,
+            width_multiplier=args.width, norm=args.norm,
         ),
         data=DataConfig(batch_size=args.batch,
                         augmentation=args.augmentation),

@@ -109,3 +109,33 @@ def test_resnet_remat_matches():
     y1 = m1.apply(vs, x)
     y2 = m2.apply(vs, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_mobilenet_groupnorm_is_batch_independent(rng):
+    """norm="group" variant: no running stats, per-sample normalization —
+    an image's embedding cannot depend on its batch (the architectural
+    fix for the BN shortcut, STATUS round-2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.config import ModelConfig
+    from deep_insight_face_tpu.models import build_embedding_model
+
+    cfg = ModelConfig(backbone="mobilenetv2", head="gdc", embedding_size=16,
+                      image_size=32, compute_dtype="float32",
+                      width_multiplier=0.35, norm="group")
+    m = build_embedding_model(cfg)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    v = m.init(jax.random.key(0), x[:1])
+    # no batch statistics anywhere
+    assert not jax.tree.leaves(v.get("batch_stats", {}))
+    e1 = np.asarray(m.apply(v, x, train=False))
+    shuffled = jnp.concatenate([x[4:], x[:4]], 0)
+    e2 = np.asarray(m.apply(v, shuffled, train=False))
+    np.testing.assert_allclose(e1[0], e2[4], atol=1e-5)
+    # train-mode forward (mutable for API compat) equals eval modulo
+    # dropout randomness being the only difference
+    e3, mut = m.apply(v, x, train=True, mutable=["batch_stats"],
+                      rngs={"dropout": jax.random.key(1)})
+    assert not jax.tree.leaves(mut.get("batch_stats", {}))
+    assert np.isfinite(np.asarray(e3)).all()
