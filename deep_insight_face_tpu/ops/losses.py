@@ -121,6 +121,21 @@ def arcface_logits(
     onehot = jax.nn.one_hot(labels, weights.shape[1], dtype=cos.dtype)
     theta = jnp.arccos(cos)
     target_cos = jnp.cos(margin1 * theta + margin2) - margin3
+    if margin2 > 0.0:
+        # InsightFace monotonicity guard: past m1·θ + m2 > π the wrapped
+        # cosine increases again, creating a degenerate global minimum
+        # (every embedding antipodal to every class weight → the margin
+        # alone boosts the target by s·(1 − cos m2) with zero
+        # discrimination; loss floor ≈ ln(1 + C·e^{−s(1−cos m2)}) ≈ 0.13
+        # at C=400, s=64 — observed). Linearize beyond the threshold so
+        # the target logit is strictly decreasing in θ.
+        import math as _math
+
+        threshold = _math.cos((_math.pi - margin2) / max(margin1, 1e-9))
+        target_cos = jnp.where(
+            cos > threshold, target_cos,
+            cos - margin2 * _math.sin(margin2) - margin3,
+        )
     logits = jnp.where(onehot > 0, target_cos, cos)
     return logits * scale
 

@@ -44,19 +44,37 @@ _TC = 512  # classifier column tile
 
 def _margin_cos(cos: jnp.ndarray, m1: float, m2: float, m3: float) -> jnp.ndarray:
     """cos(θ + m2) − m3 for m1 == 1 (ArcFace/CosFace), acos-free:
-    cosθ·cos m2 − sinθ·sin m2."""
+    cosθ·cos m2 − sinθ·sin m2 — with the InsightFace monotonicity guard.
+
+    Past θ > π − m2 the wrapped cosine INCREASES again, which creates a
+    degenerate global minimum: collapse every embedding antipodal to
+    every class weight and the margin alone boosts the target logit by
+    s·(1 − cos m2) with zero discrimination (loss ≈ ln(1 + C·e^{−s(1−cos
+    m2)}) ≈ 0.13 at C=400, s=64 — observed in training). The canonical
+    fix linearizes beyond the threshold: cosθ − m2·sin m2, keeping the
+    target logit strictly decreasing in θ."""
     if m1 != 1.0:
         raise NotImplementedError("flash kernel supports m1 == 1 only")
     c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
     sin = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-12))
-    return c * math.cos(m2) - sin * math.sin(m2) - m3
+    adjusted = c * math.cos(m2) - sin * math.sin(m2)
+    if m2 > 0.0:
+        threshold = math.cos(math.pi - m2)
+        adjusted = jnp.where(c > threshold, adjusted,
+                             c - m2 * math.sin(m2))
+    return adjusted - m3
 
 
 def _margin_dcos(cos: jnp.ndarray, m1: float, m2: float) -> jnp.ndarray:
-    """d/dc [c·cos m2 − √(1−c²)·sin m2] = cos m2 + (c/√(1−c²))·sin m2."""
+    """d/dc of :func:`_margin_cos` (sans −m3): cos m2 + (c/√(1−c²))·sin m2
+    above the monotonicity threshold, 1 on the linearized branch."""
     c = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
     sin = jnp.sqrt(jnp.maximum(1.0 - c * c, 1e-12))
-    return math.cos(m2) + (c / sin) * math.sin(m2)
+    d = math.cos(m2) + (c / sin) * math.sin(m2)
+    if m2 > 0.0:
+        threshold = math.cos(math.pi - m2)
+        d = jnp.where(c > threshold, d, 1.0)
+    return d
 
 
 # ---------------------------------------------------------------------------

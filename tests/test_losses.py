@@ -232,3 +232,28 @@ def test_calc_mean_score():
     assert float(L.calc_mean_score(jnp.array(s))) == pytest.approx(5.0)
     uniform = np.ones(10)
     assert float(L.calc_mean_score(jnp.array(uniform))) == pytest.approx(5.5)
+
+
+def test_arcface_no_antipodal_degenerate_minimum(rng):
+    """Regression: without the InsightFace monotonicity guard, collapsing
+    every embedding ANTIPODAL to every class weight is a near-global
+    minimum of margin-softmax — non-target logits sit at −s while the
+    wrapped cos(θ+m) boosts the target to −s·cos(m), giving loss ≈ 0.13
+    and accuracy 1.0 with ZERO discrimination (observed in real training
+    on chip). With the guard, this configuration must be expensive and
+    must NOT classify."""
+    d, c = 32, 400
+    u = rng.normal(size=d).astype(np.float32)
+    u /= np.linalg.norm(u)
+    emb = np.tile(u, (8, 1)) + 1e-4 * rng.normal(size=(8, d)).astype(np.float32)
+    w = np.tile(-u[:, None], (1, c)) + 1e-4 * rng.normal(size=(d, c)).astype(
+        np.float32
+    )
+    labels = np.arange(8)
+    loss = float(L.arcface_loss(jnp.array(emb), jnp.array(w),
+                                jnp.array(labels)))
+    assert loss > 5.0, f"antipodal collapse is still cheap: loss={loss}"
+    logits = np.asarray(L.arcface_logits(jnp.array(emb), jnp.array(w),
+                                         jnp.array(labels)))
+    acc = (logits.argmax(1) == labels).mean()
+    assert acc < 0.5, f"margin alone still wins argmax: acc={acc}"

@@ -20,11 +20,17 @@ def _normalized(rng, b, d, c):
 
 
 def _xla_loss(emb_n, w_n, labels, m1, m2, m3, s):
-    # identical math on pre-normalized inputs
+    # identical math on pre-normalized inputs (incl. the InsightFace
+    # monotonicity guard past theta > pi - m2)
+    import math
+
     cos = jnp.clip(emb_n @ w_n, -1 + 1e-7, 1 - 1e-7)
     onehot = jax.nn.one_hot(labels, w_n.shape[1], dtype=cos.dtype)
     theta = jnp.arccos(cos)
     tgt = jnp.cos(m1 * theta + m2) - m3
+    if m2 > 0:
+        tgt = jnp.where(cos > math.cos(math.pi - m2), tgt,
+                        cos - m2 * math.sin(m2) - m3)
     logits = jnp.where(onehot > 0, tgt, cos) * s
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1)[:, 0])
