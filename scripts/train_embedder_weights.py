@@ -227,9 +227,11 @@ def main() -> int:
     np.fill_diagonal(same_m, False)
     gap = float(cos[same_m].mean() - cos[~same_m & ~np.eye(len(en), dtype=bool)].mean())
     print(f"held-out cos gap (same-diff): {gap:.5f}", flush=True)
-    if gap < 0.05:
-        print("ERROR: embedding geometry degenerate (BN batch-stat "
-              "shortcut) — refusing to ship these weights", flush=True)
+    if gap < 0.005 or float(report.auc) < 0.7:
+        print("ERROR: embedding geometry degenerate — refusing to ship "
+              "these weights (historic causes: margin-softmax antipodal "
+              "minimum — fixed, ops/losses.py — and BN batch-stat "
+              "shortcuts)", flush=True)
         return 1
 
     meta = {
