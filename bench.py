@@ -56,8 +56,12 @@ def main() -> None:
     # 66 GFLOP/img caps throughput below the 5k target on v5e physics
     # alone; both variants ship, this benchmarks the deployment config
     det_size = int(os.environ.get("BENCH_DETECTOR_INPUT", "416"))
-    cfg = cfg.replace(detector=dataclasses.replace(
-        cfg.detector, variant="tiny_s2d", input_size=det_size))
+    backbone = os.environ.get("BENCH_BACKBONE", cfg.model.backbone)
+    norm = os.environ.get("BENCH_NORM", "batch")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, backbone=backbone, norm=norm),
+        detector=dataclasses.replace(
+            cfg.detector, variant="tiny_s2d", input_size=det_size))
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     platform = jax.devices()[0].platform
     chain = 8 if platform == "tpu" else 2  # chained steps inside the jit
@@ -66,9 +70,7 @@ def main() -> None:
     weights_used = {}
 
     embed_model = build_embedding_model(cfg.model)
-    embed_vars = pretrained.load_embedder_variables(
-        f"embedder_synth_{cfg.model.backbone}"
-    )
+    embed_vars = pretrained.load_matching_embedder(cfg.model)
     weights_used["embed"] = "trained" if embed_vars is not None else "random"
     if embed_vars is None:
         embed_vars = init_embedding_params(
@@ -154,7 +156,7 @@ def main() -> None:
                 "unit": "faces/sec/chip",
                 "vs_baseline": round(faces_per_sec / REFERENCE_FACES_PER_SEC, 3),
                 "batch": batch, "detector": cfg.detector.variant,
-                "detector_input": det_size,
+                "detector_input": det_size, "embedder": f"{backbone}{'_gn' if norm == 'group' else ''}",
                 "align": "landmark",
                 "weights": weights_used,
                 "batch_latency_ms": round(p50_latency_ms, 2),
