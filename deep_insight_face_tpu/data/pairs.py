@@ -144,11 +144,22 @@ def transform_to_lfw_format(image_directory: Union[str, os.PathLike]) -> None:
             if p.lower().endswith(IMAGE_EXTENSIONS)
         )
         concat_name = "_".join(entry.split())
+        # Two-phase rename: a target name can collide with a NOT-YET-
+        # renamed source (e.g. files already named Name_0000.jpg shift by
+        # one) and os.rename silently replaces the destination — a direct
+        # single-pass rename destroys every image but the last. Stage all
+        # files to unique temp names first, then to their final names.
+        staged = []
         for i, image_path in enumerate(images):
             ext = pathlib.Path(image_path).suffix
             new_path = os.path.join(person_folder, f"{concat_name}_{i + 1:04d}{ext}")
-            if image_path != new_path:
-                os.rename(image_path, new_path)
+            if image_path == new_path:
+                continue
+            tmp_path = os.path.join(person_folder, f".lfw_stage_{i:04d}{ext}")
+            os.rename(image_path, tmp_path)
+            staged.append((tmp_path, new_path))
+        for tmp_path, new_path in staged:
+            os.rename(tmp_path, new_path)
         if concat_name != entry:
             os.rename(person_folder, os.path.join(image_directory, concat_name))
 

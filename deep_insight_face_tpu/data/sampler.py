@@ -147,6 +147,12 @@ class ClassifierSampler:
         ]
         if not self.flat:
             raise ValueError("empty dataset")
+        if len(self.flat) < batch_size:
+            # the epoch loop below would yield nothing and spin forever
+            raise ValueError(
+                f"dataset has {len(self.flat)} images < batch_size "
+                f"{batch_size}; shrink the batch or add data"
+            )
         self.batch_size = batch_size
         self.rng = random.Random(seed)
 

@@ -16,7 +16,12 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-from deep_insight_face_tpu.ops.distances import gallery_match, gallery_scores
+from deep_insight_face_tpu.ops.distances import (
+    gallery_match,
+    gallery_scores,
+    make_sharded_gallery_match,
+    make_sharded_gallery_scores,
+)
 
 #: verification thresholds per embedding family
 #: (reference: predictions.py:52 siamese 0.3, :104 triplet 0.7)
@@ -24,13 +29,32 @@ DEFAULT_THRESHOLDS = {"siamese": 0.3, "triplet": 0.7, "arcface": 0.7}
 
 
 class FaceGallery:
-    """Named embedding database with fused match/verify/identify."""
+    """Named embedding database with fused match/verify/identify.
 
-    def __init__(self, embedding_size: int = 128):
+    Pass a ``jax.sharding.Mesh`` to scale past one device: gallery rows
+    are sharded over the mesh's model axis (capacity grows with devices),
+    queries over the data axis, and identification runs the same fused
+    Pallas kernel per shard with a pmax/pmin combine
+    (ops/distances.make_sharded_gallery_match; SURVEY §5 long-axis —
+    the reference is a one-host numpy loop, predictions.py:74-79,126).
+    """
+
+    def __init__(self, embedding_size: int = 128, mesh=None):
         self.embedding_size = embedding_size
+        self.mesh = mesh
         self._names: List[str] = []
         self._embs: List[np.ndarray] = []
         self._device_gallery: Optional[jnp.ndarray] = None
+        if mesh is not None:
+            self._match_fn = make_sharded_gallery_match(mesh)
+            self._scores_fn = make_sharded_gallery_scores(mesh)
+            axes = mesh.axis_names
+            self._n_model = mesh.shape[axes[1] if len(axes) > 1 else axes[0]]
+            self._n_data = mesh.shape[axes[0]] if len(axes) > 1 else 1
+        else:
+            self._match_fn = None
+            self._scores_fn = None
+            self._n_model = self._n_data = 1
 
     # -- enrollment ---------------------------------------------------------
 
@@ -59,7 +83,30 @@ class FaceGallery:
         if self._device_gallery is None:
             if not self._embs:
                 raise ValueError("gallery is empty")
-            self._device_gallery = jnp.asarray(np.stack(self._embs))
+            g = np.stack(self._embs)
+            if self.mesh is not None:
+                # pre-normalize (the sharded kernels skip it) and pad N to
+                # a multiple of the model-axis size with DUPLICATES of row
+                # 0 — the exactness contract of the sharded combine
+                # (ops/distances.py, sharded gallery matcher).
+                g = g / np.maximum(
+                    np.linalg.norm(g, axis=1, keepdims=True), 1e-12
+                )
+                pad = (-len(g)) % self._n_model
+                if pad:
+                    g = np.concatenate([g, np.repeat(g[:1], pad, 0)], 0)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axes = self.mesh.axis_names
+                model_axis = axes[1] if len(axes) > 1 else axes[0]
+                import jax
+
+                self._device_gallery = jax.device_put(
+                    jnp.asarray(g),
+                    NamedSharding(self.mesh, P(model_axis, None)),
+                )
+            else:
+                self._device_gallery = jnp.asarray(g)
         return self._device_gallery
 
     # -- queries ------------------------------------------------------------
@@ -68,10 +115,20 @@ class FaceGallery:
         self, queries: np.ndarray
     ) -> Tuple[List[str], np.ndarray]:
         """Best match per query: (names, cosine scores). One fused kernel —
-        no per-identity loop (cf. reference predictions.py:74-79)."""
+        no per-identity loop (cf. reference predictions.py:74-79); over a
+        mesh, one fused kernel per gallery shard + an ICI combine."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        scores, idx = gallery_match(q, self._gallery())
-        idx = np.asarray(idx)
+        if self._match_fn is not None:
+            m = q.shape[0]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            pad = (-m) % self._n_data
+            if pad:
+                q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0)
+            scores, idx = self._match_fn(q, self._gallery())
+            scores, idx = scores[:m], np.asarray(idx)[:m]
+        else:
+            scores, idx = gallery_match(q, self._gallery())
+            idx = np.asarray(idx)
         return [self._names[i] for i in idx], np.asarray(scores)
 
     def verify(
@@ -94,8 +151,16 @@ class FaceGallery:
         return dist < threshold, dist
 
     def scores_all(self, queries: np.ndarray) -> np.ndarray:
-        """Full (M, N) cosine score matrix (blocked Pallas matmul)."""
+        """Full (M, N) cosine score matrix (blocked Pallas matmul; per-
+        shard tiles over the mesh when sharded)."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        if self._scores_fn is not None:
+            m = q.shape[0]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            pad = (-m) % self._n_data
+            if pad:
+                q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0)
+            return np.asarray(self._scores_fn(q, self._gallery()))[:m, : len(self)]
         return np.asarray(gallery_scores(q, self._gallery()))
 
     # -- (de)serialization ---------------------------------------------------

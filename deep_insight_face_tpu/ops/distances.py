@@ -188,3 +188,93 @@ def gallery_match(
         interpret=interpret_mode(),
     )(qp, gp)
     return best[:m, 0], idx[:m, 0]
+
+
+# ---------------------------------------------------------------------------
+# sharded gallery matcher (SURVEY §5 long-axis: O(N·D) over the mesh)
+# ---------------------------------------------------------------------------
+#
+# The reference's gallery is a per-identity numpy loop on one host
+# (reference: predictions.py:74-79,126). The fused kernel above removes
+# the loop; these shard_map wrappers remove the single-device capacity
+# wall: gallery rows are sharded over the ``model`` mesh axis (each
+# device holds N/n_model identities in HBM), queries over ``data``.
+# Each shard runs the same fused Pallas kernel on its slice; per-shard
+# (max, argmax) combine across ``model`` with a pmax + index-offset
+# pmin tie-break.
+#
+# Padding contract (exactness): callers pad the gallery to a multiple of
+# the model-axis size with DUPLICATES OF ROW 0 (see FaceGallery._gallery).
+# A duplicate row can tie but never strictly beat the true best: if it
+# ties globally, row 0's own shard reports the same score and the pmin
+# tie-break returns the genuine (smaller) index; otherwise the padded
+# shard's candidate is discarded by the ``best >= global_best`` mask. So
+# the returned index is always < N with no n_actual plumbing per shard.
+
+
+def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
+    """Build a jitted (queries, gallery) → (scores, indices) matcher
+    sharded over ``mesh``.
+
+    ``queries``: (M, D) with M divisible by the data-axis size;
+    ``gallery``: (N, D) with N divisible by the model-axis size, padded
+    per the row-0 duplicate contract above. Both pre-l2-normalized.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data_axis = data_axis or mesh.axis_names[0]
+    model_axis = model_axis or (
+        mesh.axis_names[1] if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    )
+    if model_axis == data_axis:
+        # one-axis mesh: shard the gallery over it, replicate queries
+        data_axis = None
+    n_model = mesh.shape[model_axis]
+
+    def body(q, g):
+        local_n = g.shape[0]
+        best, idx = gallery_match(q, g, normalize=False)
+        gidx = idx + jax.lax.axis_index(model_axis) * local_n
+        gbest = jax.lax.pmax(best, model_axis)
+        cand = jnp.where(best >= gbest, gidx, jnp.int32(2**31 - 1))
+        return gbest, jax.lax.pmin(cand, model_axis)
+
+    q_spec = P(data_axis, None)
+    o_spec = P(data_axis)
+    matcher = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(q_spec, P(model_axis, None)),
+        out_specs=(o_spec, o_spec),
+        check_rep=False,
+    )
+    del n_model
+    return jax.jit(matcher)
+
+
+def make_sharded_gallery_scores(mesh, data_axis=None, model_axis=None):
+    """Build a jitted (queries, gallery) → (M, N) score-matrix fn sharded
+    over ``mesh`` (queries over data, gallery rows over model); each
+    shard computes its (M/d, N/m) tile with the blocked Pallas matmul."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data_axis = data_axis or mesh.axis_names[0]
+    model_axis = model_axis or (
+        mesh.axis_names[1] if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    )
+    if model_axis == data_axis:
+        data_axis = None
+
+    def body(q, g):
+        return gallery_scores(q, g, normalize=False)
+
+    scorer = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(data_axis, None), P(model_axis, None)),
+        out_specs=P(data_axis, model_axis),
+        check_rep=False,
+    )
+    return jax.jit(scorer)

@@ -121,20 +121,25 @@ def arcface_logits(
     onehot = jax.nn.one_hot(labels, weights.shape[1], dtype=cos.dtype)
     theta = jnp.arccos(cos)
     target_cos = jnp.cos(margin1 * theta + margin2) - margin3
-    if margin2 > 0.0:
+    if margin2 > 0.0 or margin1 > 1.0:
         # InsightFace monotonicity guard: past m1·θ + m2 > π the wrapped
         # cosine increases again, creating a degenerate global minimum
         # (every embedding antipodal to every class weight → the margin
         # alone boosts the target by s·(1 − cos m2) with zero
         # discrimination; loss floor ≈ ln(1 + C·e^{−s(1−cos m2)}) ≈ 0.13
         # at C=400, s=64 — observed). Linearize beyond the threshold so
-        # the target logit is strictly decreasing in θ.
+        # the target logit is strictly decreasing in θ. Applies to any
+        # (m1, m2) with m1·θ + m2 reachable past π — SphereFace-style
+        # m1 > 1 with m2 == 0 included, where the fallback offset
+        # 1 + cos(π/m1) keeps the branch at or below cos(π) = −1 at the
+        # threshold (continuity bound; m2·sin m2 is the InsightFace
+        # constant and dominates for the m1 == 1 family).
         import math as _math
 
         threshold = _math.cos((_math.pi - margin2) / max(margin1, 1e-9))
+        mm = max(margin2 * _math.sin(margin2), threshold + 1.0)
         target_cos = jnp.where(
-            cos > threshold, target_cos,
-            cos - margin2 * _math.sin(margin2) - margin3,
+            cos > threshold, target_cos, cos - mm - margin3,
         )
     logits = jnp.where(onehot > 0, target_cos, cos)
     return logits * scale

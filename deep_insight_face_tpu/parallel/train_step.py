@@ -155,7 +155,12 @@ def _embed(apply_fn, params, batch_stats, images, rng, train: bool,
         # the "BN shortcut" (train-acc 1.0, constant eval function) that
         # MobileNetV2 ArcFace converges to on small synthetic worlds is
         # impossible by construction. Running stats keep tracking via a
-        # stop-gradient side pass in train_step.
+        # stop-gradient side pass in train_step. NOTE (intentional): the
+        # frozen phase is also dropout-free — train=False makes the loss
+        # forward fully deterministic per sample, which is the denial
+        # phase's contract (the serve-time function IS the train-time
+        # function); it begins only after bn_freeze_step warm steps of
+        # normal dropout-regularized training.
         return apply_fn(variables, images, train=False), batch_stats
     if train:
         out, mut = apply_fn(

@@ -87,7 +87,10 @@ def load_matching_embedder(model_cfg) -> Optional[Any]:
     want = dataclasses.asdict(model_cfg)
     checked = ("backbone", "head", "embedding_size", "image_size",
                "width_multiplier", "channels", "norm")
-    if any(k in shipped and shipped[k] != want.get(k) for k in checked):
+    # A key absent from the sidecar is a mismatch, not a pass: a stale or
+    # hand-edited sidecar missing e.g. image_size must not silently load
+    # shape-mismatched weights.
+    if any(shipped.get(k) != want.get(k) for k in checked):
         return None
     from deep_insight_face_tpu.utils.weights import load_npz
 

@@ -287,13 +287,17 @@ def save_npz(path: str, variables: Dict, dtype: Optional[str] = None) -> None:
     ``dtype="float16"`` stores float leaves half-precision — used for
     shipped inference weights (params round-trip through f16 with ~1e-3
     relative error, irrelevant at inference); load_npz restores float32.
+    ``batch_stats`` leaves are always kept float32: BatchNorm running
+    variances can sit below f16's subnormal range (~6e-5) and flushing
+    them toward zero skews eval-mode normalization.
     """
     flat = {}
     leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
     for key_path, leaf in leaves:
         name = "/".join(str(getattr(k, "key", k)) for k in key_path)
         arr = np.asarray(leaf)
-        if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+        if (dtype is not None and np.issubdtype(arr.dtype, np.floating)
+                and not name.startswith("batch_stats/")):
             arr = arr.astype(dtype)
         flat[name] = arr
     np.savez_compressed(path, **flat)

@@ -117,3 +117,14 @@ def test_lfw_pair_batcher(dataset_dir):
     assert b.issame == [True, False]
     chunks = list(b)
     assert [len(c) for c in chunks] == [2, 2]
+
+
+def test_classifier_sampler_rejects_tiny_dataset():
+    """batch_size > dataset size must raise, not busy-spin forever in the
+    prefetcher worker (regression: CLI train hang on a 4-image dataset)."""
+    from deep_insight_face_tpu.data.dataset import IdentityClass
+    from deep_insight_face_tpu.data.sampler import ClassifierSampler
+
+    classes = [IdentityClass("a", ("a/1.jpg",)), IdentityClass("b", ("b/1.jpg",))]
+    with pytest.raises(ValueError, match="batch_size"):
+        ClassifierSampler(classes, batch_size=8)

@@ -107,3 +107,27 @@ def test_generate_pairs_end_to_end(tmp_path):
         tmp_path, num_folds=2, num_matches_mismatches=3, seed=7, rename_to_lfw=False
     )
     assert again == (match_folds, mismatch_folds)
+
+
+def test_transform_to_lfw_rename_no_clobber(tmp_path):
+    """Files whose names already collide with the LFW target sequence
+    (e.g. Name_0000.jpg..Name_0005.jpg shifting by one) must survive a
+    rename: a naive single-pass os.rename silently destroys all but the
+    last (regression: two-phase staged rename)."""
+    from deep_insight_face_tpu.data.pairs import transform_to_lfw_format
+
+    d = tmp_path / "person_0"
+    d.mkdir()
+    contents = {}
+    for i in range(6):
+        p = d / f"person_0_{i:04d}.jpg"
+        p.write_bytes(bytes([i]) * 16)
+        contents[i] = p.read_bytes()
+    transform_to_lfw_format(tmp_path)
+    files = sorted(d.iterdir())
+    assert [f.name for f in files] == [
+        f"person_0_{i + 1:04d}.jpg" for i in range(6)
+    ]
+    # contents preserved in order
+    for i, f in enumerate(files):
+        assert f.read_bytes() == contents[i]

@@ -269,3 +269,100 @@ def test_bn_frozen_step_denies_batch_stats_but_tracks_them(rng):
                         jax.tree.leaves(state2.batch_stats))
     )
     assert changed, "side pass did not update running stats"
+
+
+# ---------------------------------------------------------------------------
+# sharded gallery (SURVEY §5 long-axis: O(N·D) over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def _random_embs(rng, n, d=32):
+    e = rng.normal(size=(n, d)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+@pytest.mark.parametrize("n_ids,n_q", [(64, 8), (67, 8), (131, 13)])
+def test_sharded_gallery_match_equals_single_device(rng, n_ids, n_q):
+    """shard_map'd matcher == single-device fused kernel, including the
+    row-0-duplicate padding contract (N, M not multiples of the mesh)."""
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    gal_s = FaceGallery(embedding_size=32, mesh=mesh)
+    gal_1 = FaceGallery(embedding_size=32)
+    embs = _random_embs(rng, n_ids)
+    for i, e in enumerate(embs):
+        gal_s.add(f"id{i}", e)
+        gal_1.add(f"id{i}", e)
+
+    q = _random_embs(rng, n_q)
+    names_s, scores_s = gal_s.identify(q)
+    names_1, scores_1 = gal_1.identify(q)
+    assert names_s == names_1
+    np.testing.assert_allclose(scores_s, scores_1, atol=1e-5)
+
+    ss = gal_s.scores_all(q)
+    s1 = gal_1.scores_all(q)
+    assert ss.shape == (n_q, n_ids)
+    np.testing.assert_allclose(ss, s1, atol=1e-5)
+
+
+def test_sharded_gallery_all_negative_scores(rng):
+    """Adversarial padding case: every genuine score negative — the row-0
+    duplicate padding in the last shard must not shadow the true best."""
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    gal_s = FaceGallery(embedding_size=32, mesh=mesh)
+    gal_1 = FaceGallery(embedding_size=32)
+    # gallery clustered around one direction u; pads 33 -> 34 over model=2
+    u = _random_embs(rng, 1)
+    embs = u + 0.1 * _random_embs(rng, 33)
+    embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    for i, e in enumerate(embs):
+        gal_s.add(f"id{i}", e)
+        gal_1.add(f"id{i}", e)
+    # queries near the antipode -u: every genuine cosine is negative
+    q = -u + 0.05 * _random_embs(rng, 8)
+    q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    names_s, scores_s = gal_s.identify(q)
+    names_1, scores_1 = gal_1.identify(q)
+    assert (scores_1 < 0).all(), "test setup: scores should be negative"
+    assert names_s == names_1
+    np.testing.assert_allclose(scores_s, scores_1, atol=1e-5)
+
+
+def test_sharded_gallery_one_axis_mesh(rng):
+    """A 1-axis mesh shards the gallery over all devices (queries
+    replicated)."""
+    from jax.sharding import Mesh
+
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+    gal_s = FaceGallery(embedding_size=32, mesh=mesh)
+    gal_1 = FaceGallery(embedding_size=32)
+    embs = _random_embs(rng, 50)  # pads 50 -> 56 over 8 shards
+    for i, e in enumerate(embs):
+        gal_s.add(f"id{i}", e)
+        gal_1.add(f"id{i}", e)
+    q = _random_embs(rng, 5)
+    names_s, scores_s = gal_s.identify(q)
+    names_1, scores_1 = gal_1.identify(q)
+    assert names_s == names_1
+    np.testing.assert_allclose(scores_s, scores_1, atol=1e-5)
+    np.testing.assert_allclose(gal_s.scores_all(q), gal_1.scores_all(q),
+                               atol=1e-5)
+
+
+def test_sharded_gallery_placement(rng):
+    """The device gallery really is sharded over the model axis."""
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    gal = FaceGallery(embedding_size=32, mesh=mesh)
+    for i, e in enumerate(_random_embs(rng, 64)):
+        gal.add(f"id{i}", e)
+    gal.identify(_random_embs(rng, 4))
+    spec = gal._gallery().sharding.spec
+    assert tuple(spec) == ("model", None), spec
