@@ -596,6 +596,86 @@ def identity_scenes(
     return imgs, labels
 
 
+def pipeline_emitted_dataset(
+    n_ids: int,
+    per_id: int,
+    size: int = 112,
+    seed: int = 0,
+    id_offset: int = 0,
+    scene_size: int = 416,
+    batch: int = 32,
+    min_face: float = 0.25,
+    max_face: float = 0.45,
+    detector_variant: str = "tiny_s2d",
+    scenes: "Optional[Tuple[np.ndarray, np.ndarray]]" = None,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Aligned face crops emitted by the REAL serving pipeline (shipped
+    detector → Pallas NMS → LandmarkNet → similarity align) over rendered
+    identity scenes — the exact distribution the embedder sees at serving
+    time, detector box jitter included.
+
+    ``aligned_identity_dataset`` approximates serving geometry with
+    analytic landmarks + noise; this closes the last distribution shift
+    by harvesting through :func:`pipeline.build_align_pipeline` itself.
+    Scenes whose face the detector misses are dropped (their crop would
+    be background). Pass ``scenes=(imgs, labels)`` to reuse pre-rendered
+    scenes. Returns (crops uint8 (M, size, size, 3), labels (M,) int32,
+    detection_rate).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.config import default_config
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+    from deep_insight_face_tpu.pipeline import (
+        build_align_pipeline,
+        make_detector_model,
+    )
+    from deep_insight_face_tpu.utils import pretrained
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, image_size=size),
+        detector=dataclasses.replace(cfg.detector, variant=detector_variant),
+    )
+    dv = pretrained.load_detector_variables(
+        detector_variant, cfg.detector.input_size
+    )
+    lv = pretrained.load_landmark_variables()
+    if dv is None or lv is None:
+        raise RuntimeError(
+            "pipeline_emitted_dataset needs the shipped detector and "
+            "landmark weights (scripts/train_detector_weights.py, "
+            "scripts/train_landmark_weights.py)"
+        )
+    dm, _ = make_detector_model(cfg.detector)
+    align = build_align_pipeline(cfg, dm, landmark_model=LandmarkNet())
+
+    if scenes is None:
+        imgs, labels = identity_scenes(
+            n_ids, per_id, size=scene_size, seed=seed, id_offset=id_offset,
+            min_face=min_face, max_face=max_face,
+        )
+    else:
+        imgs, labels = scenes
+    crops = np.empty((len(imgs), size, size, 3), np.uint8)
+    found = np.zeros((len(imgs),), bool)
+    for s in range(0, len(imgs), batch):
+        chunk = imgs[s : s + batch]
+        n = len(chunk)
+        if n < batch:  # static-shape program: pad the tail batch
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch - n, axis=0)]
+            )
+        out = align(dv, lv, jnp.asarray(chunk))
+        crops[s : s + n] = np.clip(
+            np.asarray(out.crops[:n]), 0, 255
+        ).astype(np.uint8)
+        found[s : s + n] = np.asarray(out.found[:n])
+    return crops[found], labels[found], float(found.mean())
+
+
 def aligned_identity_dataset(
     n_ids: int,
     per_id: int,

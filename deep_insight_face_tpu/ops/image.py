@@ -386,6 +386,101 @@ def random_grayscale(
     return x + alpha * (luma - x)
 
 
+def percentile_contrast_stretch(
+    images: jnp.ndarray, lower: float = 2.0, upper: float = 98.0
+) -> jnp.ndarray:
+    """Per-image percentile contrast stretch: map the [p_lower, p_upper]
+    intensity range to [0, 255] (reference: common/image_aug.py:33-36
+    skimage rescale_intensity on (2, 98) percentiles; also the
+    iterator's contrast_stretching hook, common/iterator.py:471-474).
+    """
+    x = images.astype(jnp.float32)
+    flat = x.reshape(x.shape[0], -1)
+    lo = jnp.percentile(flat, lower, axis=1)[:, None, None, None]
+    hi = jnp.percentile(flat, upper, axis=1)[:, None, None, None]
+    return jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-6) * 255.0, 0.0, 255.0)
+
+
+def histogram_equalization(images: jnp.ndarray) -> jnp.ndarray:
+    """Per-image, per-channel histogram equalization: each pixel maps to
+    its intensity CDF value (reference: common/iterator.py:475-477
+    skimage exposure.equalize_hist hook).
+
+    CDF(v) = (#pixels ≤ v)/N computed by sort + searchsorted — exact
+    tie handling (equal intensities map to one value; flat regions stay
+    flat) with no 256-bin one-hot blowup, so it stays cheap under jit.
+    """
+    x = images.astype(jnp.float32)
+    n, h, w, c = x.shape
+    flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(n * c, h * w)
+
+    def eq_one(v):
+        s = jnp.sort(v)
+        cdf = jnp.searchsorted(s, v, side="right").astype(jnp.float32)
+        return cdf / v.shape[0] * 255.0
+
+    out = jax.vmap(eq_one)(flat).reshape(n, c, h, w)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def random_contrast_stretch(
+    key: jax.Array, images: jnp.ndarray, max_lower: float = 6.0
+) -> jnp.ndarray:
+    """Contrast stretch with random percentile bounds (PRNG-keyed wrapper
+    for the augmentation stacks)."""
+    p = jax.random.uniform(key, (), minval=0.0, maxval=max_lower)
+    return percentile_contrast_stretch(images, p, 100.0 - p)
+
+
+def random_rotate_crop(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_rotation_deg: float = 20.0,
+) -> jnp.ndarray:
+    """Rotate and crop the largest same-aspect rectangle with no
+    out-of-frame corners, resized back to the input size — as ONE
+    composed affine warp (reference: common/image_aug.py:138-310
+    rotate_and_crop_largest_rect, a ~170-line host-side geometry
+    routine; here the crop is folded into the warp matrix).
+
+    For rotation θ of a w×h frame, the largest inscribed axis-aligned
+    rectangle with the same aspect ratio has scale
+    s = min(w/(w|cosθ|+h|sinθ|), h/(w|sinθ|+h|cosθ|)); the output grid
+    maps through R(θ)·(1/s) about the center, so no black corners ever
+    materialize and shapes stay static.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+
+    n, h, w, _ = images.shape
+    theta = jnp.deg2rad(
+        jax.random.uniform(
+            key, (n,), minval=-max_rotation_deg, maxval=max_rotation_deg
+        )
+    )
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    ac, as_ = jnp.abs(cos), jnp.abs(sin)
+    # extents between outermost pixel CENTERS (w−1, h−1): bilinear samples
+    # past the last center blend with the 0 border; a further 1-px
+    # relative margin absorbs the two-pass warp's sub-percent skew
+    we, he = w - 1.0, h - 1.0
+    s = jnp.minimum(we / (we * ac + he * as_), he / (we * as_ + he * ac))
+    s = s * (1.0 - 1.0 / min(h, w))
+    # FORWARD (src→dst, warp_affine convention) map: rotate by θ about
+    # the center and magnify by 1/s ≥ 1, so the s-scaled central crop of
+    # the rotated content exactly fills the output frame
+    a = cos / s
+    b = -sin / s
+    c = sin / s
+    d = cos / s
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    t_x = cx - a * cx - b * cy
+    t_y = cy - c * cx - d * cy
+    mats = jnp.stack(
+        [jnp.stack([a, b, t_x], -1), jnp.stack([c, d, t_y], -1)], axis=1
+    )
+    return warp_affine_mxu(images, mats, (h, w))
+
+
 AUGMENTATION_OPTIONS = ("default", "geometric", "non_geometric", "both", "all", "none")
 
 
@@ -414,13 +509,15 @@ def augment_batch(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
         return images
-    k = jax.random.split(key, 12)
+    k = jax.random.split(key, 15)
     x = images.astype(jnp.float32)
     if option in ("geometric", "both", "all", "default"):
         x = random_flip(k[0], x)  # internally per-image p=0.5
         x = _sometimes(k[1], 0.5, random_crop_resize, x)
     if option == "all":
         x = _sometimes(k[5], 0.5, random_affine, x)
+        x = _sometimes(k[12], 0.25,
+                       lambda kk, im: random_rotate_crop(kk, im, 20.0), x)
     if option in ("non_geometric", "both", "all", "default"):
         x = _sometimes(k[2], 0.5, random_brightness, x)
         x = _sometimes(k[3], 0.5, random_contrast, x)
@@ -441,4 +538,9 @@ def augment_batch(
                        lambda kk, im: random_coarse_dropout(kk, im, 0.05), x)
         x = _sometimes(k[11], 0.34,
                        lambda kk, im: random_grayscale(kk, im, 0.7), x)
+        # intensity-remap tail (reference: image_aug.py:33-36 percentile
+        # stretch; iterator.py:471-480 equalization hooks)
+        x = _sometimes(k[13], 0.2, random_contrast_stretch, x)
+        x = _sometimes(k[14], 0.15,
+                       lambda kk, im: histogram_equalization(im), x)
     return x

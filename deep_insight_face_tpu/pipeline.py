@@ -70,12 +70,13 @@ def _select_best_box(boxes, scores, valid, image_hw):
 
 def build_pipeline(
     cfg: Config,
-    embed_model: EmbeddingModel,
+    embed_model: Optional[EmbeddingModel],
     detector_model: Optional[YoloV3] = None,
     jit: bool = True,
     align: str = "box",
     landmark_model=None,
     landmark_size: int = 112,
+    align_only: bool = False,
 ):
     """Fused detect → (align) → embed program for a fixed (N, H, W, 3)
     geometry.
@@ -144,6 +145,9 @@ def build_pipeline(
             axis=-1,
         )
 
+    if align_only and align != "landmark":
+        raise ValueError("align_only requires align='landmark'")
+
     def embed(embed_vars, crops):
         return embed_model.apply(
             embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False
@@ -168,9 +172,7 @@ def build_pipeline(
 
     ls = landmark_size
 
-    def run_lm(detector_vars, landmark_vars, embed_vars, images) -> PipelineOutput:
-        n, h, w, _ = images.shape
-        x = images.astype(jnp.float32)
+    def aligned_crops(detector_vars, landmark_vars, x, h, w):
         box, score, found = detect_best(detector_vars, x, h, w)
         expanded = margin_box(box)
         # landmark stage: separable-warp crop → LandmarkNet → 5 points
@@ -186,12 +188,64 @@ def build_pipeline(
         # MXU two-pass warp: the gather-based warp prices this stage at
         # ~53 ms/batch-128 on TPU (XLA gather); the einsum form is ~10x
         aligned = warp_affine_mxu(crops, mats, (out_size, out_size))
+        return aligned, box, score, found
+
+    def run_lm(detector_vars, landmark_vars, embed_vars, images) -> PipelineOutput:
+        n, h, w, _ = images.shape
+        x = images.astype(jnp.float32)
+        aligned, box, score, found = aligned_crops(
+            detector_vars, landmark_vars, x, h, w
+        )
         emb = embed(embed_vars, aligned)
         return PipelineOutput(
             embeddings=emb, boxes=box, scores=score, found=found
         )
 
+    if align_only:
+        def run_align(detector_vars, landmark_vars, images) -> "AlignOutput":
+            n, h, w, _ = images.shape
+            x = images.astype(jnp.float32)
+            aligned, box, score, found = aligned_crops(
+                detector_vars, landmark_vars, x, h, w
+            )
+            return AlignOutput(
+                crops=aligned, boxes=box, scores=score, found=found
+            )
+
+        return jax.jit(run_align) if jit else run_align
+
     return jax.jit(run_lm) if jit else run_lm
+
+
+class AlignOutput(NamedTuple):
+    crops: jnp.ndarray  # (N, S, S, 3) float32 aligned face crops, 0..255
+    boxes: jnp.ndarray  # (N, 4) selected face box, source pixels
+    scores: jnp.ndarray  # (N,) detector confidence
+    found: jnp.ndarray  # (N,) bool
+
+
+def build_align_pipeline(
+    cfg: Config,
+    detector_model=None,
+    landmark_model=None,
+    jit: bool = True,
+    landmark_size: int = 112,
+):
+    """Detect → landmark → similarity-align, WITHOUT the embedder: the
+    serving pipeline's crop emitter (raw 0..255 crops, pre-preprocess).
+
+    Exists so training can consume *pipeline-emitted* crops — the exact
+    distribution (detector box jitter included) the embedder sees at
+    serving time — instead of analytically-aligned renders. Shares every
+    stage closure with the serving pipeline (no drift between the two).
+    Returns fn(detector_vars, landmark_vars, images) → AlignOutput with
+    crops sized (model.image_size)².
+    """
+    return build_pipeline(
+        cfg, embed_model=None, detector_model=detector_model, jit=jit,
+        align="landmark", landmark_model=landmark_model,
+        landmark_size=landmark_size, align_only=True,
+    )
 
 
 class MultiFaceOutput(NamedTuple):

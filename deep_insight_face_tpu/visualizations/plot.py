@@ -184,3 +184,32 @@ def export_embedding_projector(
     with open(os.path.join(out_dir, "projector_config.json"), "w") as f:
         json.dump(config, f, indent=2)
     return out_dir
+
+
+def oneshot_sweep_plot(
+    sweep: Dict[int, Dict[str, float]], out_path: Optional[str] = None
+):
+    """Accuracy vs N-way curves for model / pixel-NN / random-guess
+    (reference intent: oneshot.py:110-141 ``one_shot_clf`` plot; data
+    from :func:`deep_insight_face_tpu.oneshot.oneshot_sweep`)."""
+    ways = sorted(sweep)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    series = [
+        ("model", "embedding model", "o-"),
+        ("pixel_nn", "pixel nearest-neighbour", "s--"),
+        ("random", "random guess", ":"),
+    ]
+    for key, label, style in series:
+        ys = [sweep[n].get(key) for n in ways]
+        if any(y is None for y in ys):
+            continue
+        ax.plot(ways, ys, style, label=label)
+    ax.set_xlabel("N (ways)")
+    ax.set_ylabel("one-shot accuracy")
+    ax.set_ylim(0, 1.05)
+    ax.set_xticks(ways)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    ax.set_title("N-way one-shot accuracy")
+    fig.tight_layout()
+    return _save(fig, out_path)

@@ -55,8 +55,14 @@ def main() -> int:
     # aligned: render in serving geometry (ArcFace-template-aligned
     # crops, data/synthetic.aligned_identity_dataset) so the embedder
     # sees exactly what the fused pipeline's landmark-align stage emits.
+    # pipeline: crops harvested through the REAL serving pipeline
+    # (shipped detector + LandmarkNet + align over rendered scenes,
+    # data/synthetic.pipeline_emitted_dataset) — detector box jitter
+    # included, the last distribution shift closed.
+    # mixed: pipeline crops + aligned renders concatenated (same label
+    # space; doubles data and covers both distributions).
     ap.add_argument("--world", default="aligned",
-                    choices=["aligned", "plain"])
+                    choices=["aligned", "plain", "pipeline", "mixed"])
     # BN-denial phase start (see TrainConfig.bn_freeze_step). MobileNetV2
     # needs it on this world; ResNetV2 trains clean without it.
     ap.add_argument("--bn-freeze-step", type=int, default=0)
@@ -95,15 +101,41 @@ def main() -> int:
     print(f"rendering {args.n_ids}×{args.per_id} train + "
           f"{args.eval_ids}×{args.eval_per_id} held-out identities…",
           flush=True)
-    make = aligned_identity_dataset if args.world == "aligned" else identity_dataset
-    tr_imgs, tr_labels = make(
-        args.n_ids, args.per_id, size=args.size, seed=args.seed
-    )
-    # held-out identities: disjoint FaceParams seed space
-    ev_imgs, ev_labels = make(
-        args.eval_ids, args.eval_per_id, size=args.size,
-        seed=args.seed + 1, id_offset=10_000_000,
-    )
+    if args.world in ("pipeline", "mixed"):
+        from deep_insight_face_tpu.data.synthetic import (
+            pipeline_emitted_dataset,
+        )
+
+        tr_imgs, tr_labels, det_rate = pipeline_emitted_dataset(
+            args.n_ids, args.per_id, size=args.size, seed=args.seed
+        )
+        print(f"  pipeline-emitted train crops: {len(tr_imgs)} "
+              f"(detection rate {det_rate:.3f})", flush=True)
+        if args.world == "mixed":
+            al_imgs, al_labels = aligned_identity_dataset(
+                args.n_ids, args.per_id, size=args.size, seed=args.seed + 5
+            )
+            tr_imgs = np.concatenate([tr_imgs, al_imgs])
+            tr_labels = np.concatenate([tr_labels, al_labels])
+        # held-out eval crops come through the pipeline too (disjoint
+        # ids), so the reported metrics predict e2e serving quality
+        ev_imgs, ev_labels, ev_rate = pipeline_emitted_dataset(
+            args.eval_ids, args.eval_per_id, size=args.size,
+            seed=args.seed + 1, id_offset=10_000_000,
+        )
+        print(f"  pipeline-emitted eval crops: {len(ev_imgs)} "
+              f"(detection rate {ev_rate:.3f})", flush=True)
+    else:
+        make = (aligned_identity_dataset if args.world == "aligned"
+                else identity_dataset)
+        tr_imgs, tr_labels = make(
+            args.n_ids, args.per_id, size=args.size, seed=args.seed
+        )
+        # held-out identities: disjoint FaceParams seed space
+        ev_imgs, ev_labels = make(
+            args.eval_ids, args.eval_per_id, size=args.size,
+            seed=args.seed + 1, id_offset=10_000_000,
+        )
     print(f"  done in {time.time() - t0:.0f}s", flush=True)
 
     cfg = Config(
@@ -199,7 +231,7 @@ def main() -> int:
     for i, l in enumerate(ev_labels):
         by_id.setdefault(int(l), []).append(i)
     e1, e2, issame = [], [], []
-    ids = sorted(by_id)
+    ids = sorted(cid for cid, idxs in by_id.items() if len(idxs) >= 2)
     for cid in ids:
         idxs = by_id[cid]
         for _ in range(6):  # 6 same pairs per id

@@ -256,3 +256,63 @@ def test_dataset_stats_zca(rng):
     cov = out.T @ out / 30
     off_diag = cov - np.diag(np.diag(cov))
     assert np.abs(off_diag).max() < 0.3
+
+
+def test_percentile_contrast_stretch(rng):
+    """[p2, p98] maps to [0, 255]; a low-contrast image gains range."""
+    x = np.full((2, 16, 16, 3), 128.0, np.float32)
+    x[0] += rng.uniform(-20, 20, (16, 16, 3)).astype(np.float32)
+    out = np.asarray(I.percentile_contrast_stretch(jnp.asarray(x)))
+    assert out.shape == x.shape
+    assert out[0].min() <= 1.0 and out[0].max() >= 254.0  # stretched
+    # numpy oracle
+    lo, hi = np.percentile(x[0], (2, 98))
+    exp = np.clip((x[0] - lo) / (hi - lo) * 255.0, 0, 255)
+    np.testing.assert_allclose(out[0], exp, atol=1e-2)
+
+
+def test_histogram_equalization(rng):
+    """Equalized intensities follow the CDF (uniform histogram); constant
+    regions stay constant (tie handling)."""
+    x = rng.uniform(0, 255, (1, 32, 32, 1)).astype(np.float32)
+    out = np.asarray(I.histogram_equalization(jnp.asarray(x)))
+    v = out.reshape(-1)
+    # CDF-mapped uniform data → near-uniform output: quartiles near
+    # 25/50/75% of 255
+    q = np.percentile(v, (25, 50, 75))
+    np.testing.assert_allclose(q, [63.75, 127.5, 191.25], atol=8.0)
+    # exact CDF oracle on a tiny tied image
+    t = np.array([[10, 10], [20, 30]], np.float32).reshape(1, 2, 2, 1)
+    got = np.asarray(I.histogram_equalization(jnp.asarray(t))).reshape(-1)
+    # CDF(10)=2/4, CDF(20)=3/4, CDF(30)=1 → ×255
+    np.testing.assert_allclose(
+        got, np.array([127.5, 127.5, 191.25, 255.0]), atol=1e-3
+    )
+
+
+def test_random_rotate_crop_no_border(rng):
+    """Rotating a constant-255 image and cropping the largest inscribed
+    rect must produce NO dark border pixels (the reference's
+    rotate-and-crop-largest-rect contract, image_aug.py:138-310)."""
+    x = jnp.full((4, 64, 64, 3), 255.0, jnp.float32)
+    out = np.asarray(I.random_rotate_crop(jax.random.key(3), x, 25.0))
+    assert out.shape == (4, 64, 64, 3)
+    assert out.min() > 250.0, f"border leaked in: min {out.min()}"
+    # and it actually rotates: a gradient image changes
+    g = jnp.asarray(
+        np.tile(np.arange(64, dtype=np.float32)[None, :, None, None] * 4,
+                (2, 1, 64, 3))
+    )
+    og = np.asarray(I.random_rotate_crop(jax.random.key(4), g, 25.0))
+    assert not np.allclose(og, np.asarray(g), atol=1.0)
+
+
+def test_new_aug_ops_jit_and_gate(rng):
+    """New tail ops are jit-safe and per-image gated inside 'all'."""
+    f = jax.jit(lambda k, im: I.random_contrast_stretch(k, im))
+    x = jnp.asarray(rng.uniform(0, 255, (4, 32, 32, 3)).astype(np.float32))
+    assert f(jax.random.key(0), x).shape == x.shape
+    g = jax.jit(lambda im: I.histogram_equalization(im))
+    assert g(x).shape == x.shape
+    h = jax.jit(lambda k, im: I.random_rotate_crop(k, im))
+    assert h(jax.random.key(1), x).shape == x.shape

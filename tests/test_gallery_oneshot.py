@@ -90,8 +90,97 @@ def test_evaluate_oneshot_with_perfect_embedder(tmp_path, rng):
 
     acc = O.evaluate_oneshot(embed, classes, n_way=4, k_tasks=20, seed=1)
     assert acc == 1.0
-    base = O.nearest_neighbour_baseline(embed, classes, 4, 10)
+    # embed doubles as the pixel loader (fake paths never hit disk)
+    base = O.nearest_neighbour_baseline(embed, classes, 4, 10, load_paths=embed)
     assert base["random"] == 0.25
+    assert base["pixel_nn"] == 1.0  # identity-determined "pixels"
+
+
+def test_pixel_nn_baseline_and_sweep(tmp_path, rng):
+    classes = _fake_classes(tmp_path, rng, n_ids=8)
+
+    def ident_of(p):
+        return int(p.split("id")[-1].split("/")[0])
+
+    def pixels(paths):
+        # pixel loader: identity-determined image + per-image noise
+        g = np.random.default_rng(0)
+        return np.stack([
+            np.full((4, 4, 3), ident_of(p), np.float32)
+            + g.normal(0, 0.01, (4, 4, 3))
+            for p in paths
+        ])
+
+    def embed(paths):
+        out = np.zeros((len(paths), 8))
+        for i, p in enumerate(paths):
+            out[i, ident_of(p)] = 1.0
+        return out
+
+    nn = O.pixel_nearest_neighbour_oneshot(pixels, classes, 4, 20, seed=3)
+    assert nn == 1.0  # identity-separable pixels → NN perfect
+
+    def bad_pixels(paths):
+        g = np.random.default_rng(1)
+        return g.normal(size=(len(paths), 4, 4, 3))
+
+    nn_bad = O.pixel_nearest_neighbour_oneshot(bad_pixels, classes, 4, 50, seed=3)
+    assert nn_bad < 0.6  # uninformative pixels → near chance
+
+    sweep = O.oneshot_sweep(
+        embed, classes, ways=(2, 4, 20), k_tasks=10, load_paths=pixels
+    )
+    assert set(sweep) == {2, 4}  # 20-way impossible with 8 ids
+    assert sweep[4]["model"] == 1.0
+    assert sweep[4]["random"] == 0.25
+
+    from deep_insight_face_tpu.visualizations.plot import oneshot_sweep_plot
+
+    out = oneshot_sweep_plot(sweep, str(tmp_path / "sweep.png"))
+    import os
+
+    assert os.path.exists(out)
+
+
+def test_oneshot_trainer_validator(tmp_path):
+    """make_trainer_validator: runs after each epoch, logs oneshot_acc,
+    saves best weights (reference intent: oneshot.py:88-107)."""
+    import jax
+
+    from deep_insight_face_tpu.config import (
+        Config, DataConfig, MeshConfig, ModelConfig, TrainConfig,
+    )
+    from deep_insight_face_tpu.data.dataset import get_dataset
+    from deep_insight_face_tpu.data.synthetic import identity_directory
+    from deep_insight_face_tpu.training.trainer import Trainer
+
+    identity_directory(str(tmp_path / "val"), n_ids=5, per_id=3, size=32)
+    classes = get_dataset(str(tmp_path / "val"))
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenetv2", head="gdc",
+                          embedding_size=16, image_size=32,
+                          compute_dtype="float32", width_multiplier=0.35),
+        data=DataConfig(batch_size=4),
+        train=TrainConfig(mode="arcface", num_classes=5, epochs=1,
+                          steps_per_epoch=1,
+                          checkpoint_dir=str(tmp_path / "ck")),
+        mesh=MeshConfig(),
+    )
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    state = trainer.init_state(resume=False)
+    save_path = str(tmp_path / "best.npz")
+    hook = O.make_trainer_validator(
+        trainer, classes, n_way=3, k_tasks=5, save_path=save_path,
+        embed_chunk=8,
+    )
+    acc = hook(0, state)
+    assert 0.0 <= acc <= 1.0
+    assert hook.best["epoch"] == 0 and hook.best["acc"] == acc
+    import os
+
+    assert os.path.exists(save_path)
+    assert any("oneshot_acc" in h for h in trainer.logger.history)
 
 
 def test_evaluate_oneshot_random_embedder_near_chance(tmp_path, rng):

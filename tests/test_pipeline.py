@@ -133,3 +133,56 @@ def test_tiny_s2d_variant(rng):
     # same head geometry as the standard tiny model
     assert h13.shape == (2, 4, 4, 18)
     assert h26.shape == (2, 8, 8, 18)
+
+
+def test_align_pipeline_matches_serving_pipeline(rng):
+    """build_align_pipeline's crops are EXACTLY what the serving landmark
+    pipeline feeds the embedder: embedding its crops reproduces the
+    pipeline embeddings bit-for-bit (shared stage closures, no drift)."""
+    import dataclasses
+
+    import jax
+
+    from deep_insight_face_tpu.config import default_config
+    from deep_insight_face_tpu.models import (
+        build_embedding_model, init_embedding_params,
+    )
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+    from deep_insight_face_tpu.ops.image import preprocess as pre
+    from deep_insight_face_tpu.pipeline import (
+        build_align_pipeline, build_pipeline, make_detector_model,
+    )
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        model=dataclasses.replace(
+            cfg.model, backbone="mobilenetv2", image_size=32,
+            width_multiplier=0.35, compute_dtype="float32",
+        ),
+        detector=dataclasses.replace(
+            cfg.detector, variant="tiny_s2d", input_size=64,
+        ),
+    )
+    em = build_embedding_model(cfg.model)
+    ev = init_embedding_params(em, jax.random.key(0), cfg.model.image_size)
+    dm, _ = make_detector_model(cfg.detector)
+    dv = dm.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+    lm = LandmarkNet()
+    lv = lm.init(jax.random.key(2), jnp.zeros((1, 112, 112, 3)))
+
+    imgs = jnp.asarray(
+        rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+    )
+    serve = build_pipeline(cfg, em, dm, align="landmark", landmark_model=lm)
+    align = build_align_pipeline(cfg, dm, landmark_model=lm)
+
+    out = serve(dv, lv, ev, imgs)
+    a = align(dv, lv, imgs)
+    assert a.crops.shape == (2, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(a.boxes), np.asarray(out.boxes))
+    emb_from_crops = em.apply(
+        ev, pre(a.crops, cfg.data.preprocess_mode), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(emb_from_crops), np.asarray(out.embeddings), atol=1e-6
+    )
