@@ -43,7 +43,11 @@ class FaceGallery:
         self.embedding_size = embedding_size
         self.mesh = mesh
         self._names: List[str] = []
-        self._embs: List[np.ndarray] = []
+        # embeddings live as (k, D) blocks so bulk enrollment is O(1) per
+        # batch (a 10⁷-identity gallery cannot afford a Python append per
+        # row); concatenated lazily
+        self._blocks: List[np.ndarray] = []
+        self._host_gallery: Optional[np.ndarray] = None
         self._device_gallery: Optional[jnp.ndarray] = None
         if mesh is not None:
             self._match_fn = make_sharded_gallery_match(mesh)
@@ -65,12 +69,24 @@ class FaceGallery:
                 f"embedding dim {emb.shape[0]} != gallery dim {self.embedding_size}"
             )
         self._names.append(name)
-        self._embs.append(emb)
+        self._blocks.append(emb[None])
+        self._host_gallery = None
         self._device_gallery = None  # invalidate
 
     def add_batch(self, names: Sequence[str], embeddings: np.ndarray) -> None:
-        for n, e in zip(names, embeddings):
-            self.add(n, e)
+        """Bulk enrollment: one (K, D) block, no per-row Python loop."""
+        embs = np.asarray(embeddings, np.float32)
+        if embs.ndim != 2 or embs.shape[1] != self.embedding_size:
+            raise ValueError(
+                f"expected (K, {self.embedding_size}) embeddings, "
+                f"got {embs.shape}"
+            )
+        if len(names) != len(embs):
+            raise ValueError(f"{len(names)} names for {len(embs)} embeddings")
+        self._names.extend(str(n) for n in names)
+        self._blocks.append(embs)
+        self._host_gallery = None
+        self._device_gallery = None
 
     def __len__(self) -> int:
         return len(self._names)
@@ -79,11 +95,20 @@ class FaceGallery:
     def names(self) -> List[str]:
         return list(self._names)
 
+    def _host(self) -> np.ndarray:
+        if self._host_gallery is None:
+            if not self._blocks:
+                raise ValueError("gallery is empty")
+            self._host_gallery = (
+                self._blocks[0]
+                if len(self._blocks) == 1
+                else np.concatenate(self._blocks, axis=0)
+            )
+        return self._host_gallery
+
     def _gallery(self) -> jnp.ndarray:
         if self._device_gallery is None:
-            if not self._embs:
-                raise ValueError("gallery is empty")
-            g = np.stack(self._embs)
+            g = self._host()
             if self.mesh is not None:
                 # pre-normalize (the sharded kernels skip it) and pad N to
                 # a multiple of the model-axis size with DUPLICATES of row
@@ -145,7 +170,7 @@ class FaceGallery:
         i = self._names.index(identity)
         q = np.asarray(query, np.float32).reshape(-1)
         qn = q / max(np.linalg.norm(q), 1e-12)
-        g = self._embs[i]
+        g = self._host()[i]
         gn = g / max(np.linalg.norm(g), 1e-12)
         dist = float(np.linalg.norm(qn - gn))
         return dist < threshold, dist
@@ -169,7 +194,11 @@ class FaceGallery:
         np.savez(
             path,
             names=np.array(self._names),
-            embeddings=np.stack(self._embs) if self._embs else np.zeros((0, self.embedding_size)),
+            embeddings=(
+                self._host()
+                if self._blocks
+                else np.zeros((0, self.embedding_size))
+            ),
         )
 
     @classmethod

@@ -164,12 +164,13 @@ def _interp_matrix(
     return tap(p0, 1.0 - frac) + tap(p0 + 1.0, frac)
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
 def scale_translate_warp(
     images: jnp.ndarray,
     scales: jnp.ndarray,
     offsets: jnp.ndarray,
     out_hw: Tuple[int, int],
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Axis-aligned batched warp: dst(y, x) = src(sy·y + oy, sx·x + ox),
     bilinear, constant-0 border.
@@ -181,21 +182,29 @@ def scale_translate_warp(
     stage (~13 ms/batch-32 vs <1 ms for this formulation).
 
     ``scales``: (N, 2) [sy, sx]; ``offsets``: (N, 2) [oy, ox].
+    ``dtype=bfloat16`` feeds the einsums half-width inputs (halving the
+    HBM bytes of the dominant feed) while accumulating fp32; pixel error
+    ≤ ~1 intensity unit on [0, 255] (0..256 are exact in bf16, tap
+    weights carry ~2⁻⁹ relative error) — the serving pipeline uses it,
+    oracle tests keep fp32.
     """
     n, h, w, c = images.shape
     oh, ow = out_hw
-    x = images.astype(jnp.float32)
+    x = images.astype(dtype)
     ys = scales[:, 0:1] * jnp.arange(oh, dtype=jnp.float32)[None, :] + offsets[:, 0:1]
     xs = scales[:, 1:2] * jnp.arange(ow, dtype=jnp.float32)[None, :] + offsets[:, 1:2]
-    wv = _interp_matrix(ys, h)  # (n, oh, h)
-    wh = _interp_matrix(xs, w)  # (n, ow, w)
-    t = jnp.einsum("nyh,nhwc->nywc", wv, x, preferred_element_type=jnp.float32)
-    return jnp.einsum("nxw,nywc->nyxc", wh, t, preferred_element_type=jnp.float32)
+    wv = _interp_matrix(ys, h).astype(dtype)  # (n, oh, h)
+    wh = _interp_matrix(xs, w).astype(dtype)  # (n, ow, w)
+    t = jnp.einsum("nyh,nhwc->nywc", wv, x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    return jnp.einsum("nxw,nywc->nyxc", wh, t,
+                      preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
 def crop_resize_boxes(
-    images: jnp.ndarray, boxes: jnp.ndarray, out_hw: Tuple[int, int]
+    images: jnp.ndarray, boxes: jnp.ndarray, out_hw: Tuple[int, int],
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Batched box crop + bilinear resize (x1, y1, x2, y2 float boxes) via
     the separable MXU warp. Sampling convention matches
@@ -209,7 +218,8 @@ def crop_resize_boxes(
     oy = boxes[:, 1] + 0.5 * sy - 0.5
     ox = boxes[:, 0] + 0.5 * sx - 0.5
     return scale_translate_warp(
-        images, jnp.stack([sy, sx], -1), jnp.stack([oy, ox], -1), out_hw
+        images, jnp.stack([sy, sx], -1), jnp.stack([oy, ox], -1), out_hw,
+        dtype=dtype,
     )
 
 
@@ -229,9 +239,10 @@ def warp_affine(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
 def warp_affine_mxu(
-    images: jnp.ndarray, matrices: jnp.ndarray, out_hw: Tuple[int, int]
+    images: jnp.ndarray, matrices: jnp.ndarray, out_hw: Tuple[int, int],
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Batched affine warp as TWO dense interpolation einsums (no gather).
 
@@ -257,7 +268,7 @@ def warp_affine_mxu(
     d, e, f = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
     n, h, w, _ = images.shape
     oh, ow = out_hw
-    x = images.astype(jnp.float32)
+    x = images.astype(dtype)
     xg = jnp.arange(ow, dtype=jnp.float32)
     yg = jnp.arange(oh, dtype=jnp.float32)
     vg = jnp.arange(h, dtype=jnp.float32)
@@ -274,8 +285,8 @@ def warp_affine_mxu(
         + C1[:, None, None]
     )  # (n, h, ow)
     w1 = jnp.maximum(0.0, 1.0 - jnp.abs(ug - p1[..., None]))  # (n, h, ow, w)
-    tmp = jnp.einsum("nvxu,nvuc->nvxc", w1, x,
-                     preferred_element_type=jnp.float32)
+    tmp = jnp.einsum("nvxu,nvuc->nvxc", w1.astype(dtype), x,
+                     preferred_element_type=jnp.float32).astype(dtype)
 
     # pass 2 (vertical): v = d·x + e·y + f
     p2 = (
@@ -284,7 +295,7 @@ def warp_affine_mxu(
         + f[:, None, None]
     )  # (n, oh, ow)
     w2 = jnp.maximum(0.0, 1.0 - jnp.abs(vg - p2[..., None]))  # (n, oh, ow, h)
-    return jnp.einsum("nyxv,nvxc->nyxc", w2, tmp,
+    return jnp.einsum("nyxv,nvxc->nyxc", w2.astype(dtype), tmp,
                       preferred_element_type=jnp.float32)
 
 

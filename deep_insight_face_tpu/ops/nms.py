@@ -183,6 +183,85 @@ def non_max_suppression(
     return out_boxes, out_scores, valid
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_boxes", "iou_threshold", "score_threshold", "top_k",
+                     "approx_topk"),
+)
+def non_max_suppression_batch(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    max_boxes: int = 20,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.0,
+    top_k: int = 256,
+    approx_topk: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched NMS over (B, N, 4) boxes + (B, N) scores as ONE kernel
+    launch: a single ``pallas_call`` with ``grid=(B,)`` — one grid step
+    per image — instead of B vmapped dispatches. Same per-image kernel
+    and semantics as :func:`non_max_suppression`; the top-k prefilter
+    runs batched in XLA. Returns (boxes (B, max_boxes, 4), scores
+    (B, max_boxes), valid (B, max_boxes) bool).
+    """
+    b, n, _ = boxes.shape
+    k = min(top_k, n)
+    scores = jnp.where(scores >= score_threshold, scores, -jnp.inf)
+    if approx_topk and k < n:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=0.99
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = jnp.take_along_axis(
+        boxes.astype(jnp.float32), top_idx[..., None], axis=1
+    )  # (B, k, 4)
+
+    kp = max(round_up(k, 128), 128)
+    pad = kp - k
+    boxes_p = jnp.pad(top_boxes, ((0, 0), (0, pad), (0, 0)))
+    scores_p = jnp.pad(top_scores.astype(jnp.float32), ((0, 0), (0, pad)),
+                       constant_values=-jnp.inf)[:, None, :]  # (B, 1, kp)
+    rows = jnp.transpose(boxes_p, (0, 2, 1))  # (B, 4, kp)
+
+    idx, valid = pl.pallas_call(
+        functools.partial(_nms_kernel, max_boxes, iou_threshold),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((None, 4, kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kp, 4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, 1, max_boxes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, max_boxes), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, max_boxes), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, max_boxes), jnp.int32),
+        ),
+        interpret=interpret_mode(),
+    )(rows, boxes_p, scores_p)
+
+    idx = idx[:, 0]  # (B, max_boxes)
+    valid = valid[:, 0].astype(bool)
+    safe = jnp.minimum(idx, k - 1)
+    out_boxes = jnp.where(
+        valid[..., None],
+        jnp.take_along_axis(top_boxes, safe[..., None], axis=1),
+        0.0,
+    )
+    out_scores = jnp.where(
+        valid, jnp.take_along_axis(top_scores, safe, axis=1), 0.0
+    )
+    return out_boxes, out_scores, valid
+
+
 def non_max_suppression_reference(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

@@ -34,7 +34,7 @@ from deep_insight_face_tpu.ops.align import (
     warp_affine_mxu,
 )
 from deep_insight_face_tpu.ops.image import letterbox, preprocess
-from deep_insight_face_tpu.ops.nms import non_max_suppression
+from deep_insight_face_tpu.ops.nms import non_max_suppression_batch
 
 
 def make_detector_model(det_cfg) -> Tuple[object, Tuple]:
@@ -120,18 +120,20 @@ def build_pipeline(
             det_cfg.input_size,
         )
         face_scores = raw_scores[..., 0]
+        # ONE NMS kernel launch with a grid over the batch (the vmapped
+        # per-image dispatch was ~1.2 ms of the 14.2 ms serving batch)
+        ob, os_, valid = non_max_suppression_batch(
+            raw_boxes, face_scores, max_boxes=det_cfg.max_boxes,
+            iou_threshold=det_cfg.iou_threshold,
+            score_threshold=det_cfg.score_threshold,
+            approx_topk=True,
+        )
 
-        def per_image(b, s):
-            ob, os_, valid = non_max_suppression(
-                b, s, max_boxes=det_cfg.max_boxes,
-                iou_threshold=det_cfg.iou_threshold,
-                score_threshold=det_cfg.score_threshold,
-                approx_topk=True,
-            )
-            ob = correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w))
-            return _select_best_box(ob, os_, valid, (h, w))
+        def per_image(b, s, v):
+            b = correct_letterbox_boxes(b, meta, det_cfg.input_size, (h, w))
+            return _select_best_box(b, s, v, (h, w))
 
-        return jax.vmap(per_image)(raw_boxes, face_scores)
+        return jax.vmap(per_image)(ob, os_, valid)
 
     def margin_box(box):
         m = float(det_cfg.bbox_margin)
@@ -159,7 +161,10 @@ def build_pipeline(
             n, h, w, _ = images.shape
             x = images.astype(jnp.float32)
             box, score, found = detect_best(detector_vars, x, h, w)
-            crops = crop_resize_boxes(x, margin_box(box), (out_size, out_size))
+            crops = crop_resize_boxes(
+                x, margin_box(box), (out_size, out_size),
+                dtype=jnp.bfloat16,  # halve einsum feed bytes; fp32 accum
+            )
             emb = embed(embed_vars, crops)
             return PipelineOutput(
                 embeddings=emb, boxes=box, scores=score, found=found
@@ -177,7 +182,7 @@ def build_pipeline(
         expanded = margin_box(box)
         # landmark stage: separable-warp crop → LandmarkNet → 5 points
         # in crop pixel coords
-        crops = crop_resize_boxes(x, expanded, (ls, ls))
+        crops = crop_resize_boxes(x, expanded, (ls, ls), dtype=jnp.bfloat16)
         lm = landmark_model.apply(
             landmark_vars, preprocess(crops, "tf"), train=False
         )  # (N, 68, 2) normalized to the crop
@@ -187,7 +192,8 @@ def build_pipeline(
         mats = jax.vmap(lambda f: umeyama_similarity(f, tpl_dst))(five)
         # MXU two-pass warp: the gather-based warp prices this stage at
         # ~53 ms/batch-128 on TPU (XLA gather); the einsum form is ~10x
-        aligned = warp_affine_mxu(crops, mats, (out_size, out_size))
+        aligned = warp_affine_mxu(crops, mats, (out_size, out_size),
+                                  dtype=jnp.bfloat16)
         return aligned, box, score, found
 
     def run_lm(detector_vars, landmark_vars, embed_vars, images) -> PipelineOutput:
@@ -290,16 +296,18 @@ def build_multiface_pipeline(
             det_cfg.input_size,
         )
 
-        def per_image(b, s):
-            ob, os_, valid = non_max_suppression(
-                b, s, max_boxes=mb,
-                iou_threshold=det_cfg.iou_threshold,
-                score_threshold=det_cfg.score_threshold,
-                approx_topk=True,
+        ob, os_, valid = non_max_suppression_batch(
+            raw_boxes, raw_scores[..., 0], max_boxes=mb,
+            iou_threshold=det_cfg.iou_threshold,
+            score_threshold=det_cfg.score_threshold,
+            approx_topk=True,
+        )
+        boxes = jax.vmap(
+            lambda bx: correct_letterbox_boxes(
+                bx, meta, det_cfg.input_size, (h, w)
             )
-            return correct_letterbox_boxes(ob, meta, det_cfg.input_size, (h, w)), os_, valid
-
-        boxes, scores, valid = jax.vmap(per_image)(raw_boxes, raw_scores[..., 0])
+        )(ob)
+        scores = os_
 
         m = float(det_cfg.bbox_margin)
         expanded = jnp.stack(
@@ -314,7 +322,8 @@ def build_multiface_pipeline(
         # flatten faces: repeat each image for its box slots
         imgs_rep = jnp.repeat(x, mb, axis=0)  # (N·mb, H, W, C)
         crops = crop_resize_boxes(
-            imgs_rep, expanded.reshape(-1, 4), (out_size, out_size)
+            imgs_rep, expanded.reshape(-1, 4), (out_size, out_size),
+            dtype=jnp.bfloat16,
         )
         emb = embed_model.apply(
             embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False

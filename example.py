@@ -119,6 +119,21 @@ def main() -> int:
     oneshot = evaluate_oneshot(embed_paths, classes, n_way=5, k_tasks=40)
     print(f"5-way one-shot accuracy: {oneshot:.2f} (random = 0.20)")
 
+    # accuracy-vs-N sweep with pixel-NN + random baselines
+    # (the working version of the reference's one_shot_clf plot)
+    from deep_insight_face_tpu.oneshot import oneshot_sweep
+
+    sweep = oneshot_sweep(
+        embed_paths, classes, ways=(2, 5, 10), k_tasks=30,
+        load_paths=lambda paths: loader.load_batch(list(paths)),
+    )
+    for n, row in sorted(sweep.items()):
+        print(f"  {n:>2}-way: model {row['model']:.2f}  "
+              f"pixel-NN {row['pixel_nn']:.2f}  random {row['random']:.2f}")
+    plot.oneshot_sweep_plot(
+        sweep, out_path=os.path.join(OUT_DIR, "oneshot_sweep.png")
+    )
+
     # --- plot artifacts ------------------------------------------------------
     all_paths, all_labels = [], []
     for i, c in enumerate(classes):

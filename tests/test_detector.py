@@ -211,3 +211,32 @@ def test_nms_randomized_stress(seed):
     want = _py_nms(boxes, scores, 10, thr, score_thr)
     got = np.asarray(ob)[np.asarray(valid)]
     np.testing.assert_allclose(got, boxes[want], atol=1e-5)
+
+
+def test_nms_batch_matches_per_image(rng):
+    """non_max_suppression_batch (one pallas_call, grid over images) ==
+    vmapped per-image non_max_suppression, elementwise."""
+    import jax
+
+    from deep_insight_face_tpu.ops.nms import (
+        non_max_suppression, non_max_suppression_batch,
+    )
+
+    b, n = 5, 300
+    centers = rng.uniform(20, 200, (b, n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 60, (b, n, 2)).astype(np.float32)
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1)
+    scores = rng.uniform(0, 1, (b, n)).astype(np.float32)
+
+    bb, bs, bv = non_max_suppression_batch(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        max_boxes=10, iou_threshold=0.5, score_threshold=0.3,
+    )
+    for i in range(b):
+        sb, ss, sv = non_max_suppression(
+            jnp.asarray(boxes[i]), jnp.asarray(scores[i]),
+            max_boxes=10, iou_threshold=0.5, score_threshold=0.3,
+        )
+        np.testing.assert_array_equal(np.asarray(bv[i]), np.asarray(sv))
+        np.testing.assert_allclose(np.asarray(bb[i]), np.asarray(sb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs[i]), np.asarray(ss), atol=1e-6)

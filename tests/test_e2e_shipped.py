@@ -1,9 +1,12 @@
-"""End-to-end regression on SHIPPED trained weights.
+"""End-to-end regression gate on SHIPPED trained weights.
 
 The CI-grade version of scripts/e2e_quality.py: raw cluttered scenes of
 known held-out identities → full fused pipeline (detect → Pallas NMS →
 LandmarkNet → similarity align → embed) with the weights the repo ships
-→ assert the system actually detects faces and separates identities.
+→ ratcheted thresholds on detection rate, verification accuracy and AUC
+(VERDICT r2 #2: a gate that actually catches a quality collapse, not a
+cos-gap smoke check). Thresholds sit just below the measured shipped
+quality (e2e_quality.json) — ratchet them upward when it improves.
 Skips when shipped weights are absent (fresh clone without LFS etc.).
 """
 
@@ -11,6 +14,12 @@ import numpy as np
 import pytest
 
 from deep_insight_face_tpu.utils import pretrained
+
+# ratchet: current shipped quality minus epsilon (see e2e_quality.json).
+# Raise these when the shipped weights improve; never lower them.
+MIN_DETECTION_RATE = 0.95
+MIN_ACCURACY = 0.92
+MIN_AUC = 0.94
 
 
 def _has_all_weights():
@@ -23,35 +32,74 @@ def _has_all_weights():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not _has_all_weights(), reason="shipped weights absent")
-def test_shipped_pipeline_separates_identities():
+def test_shipped_pipeline_quality_gate():
     import dataclasses
 
     from deep_insight_face_tpu.api import FaceRecognition
     from deep_insight_face_tpu.config import default_config
     from deep_insight_face_tpu.data.synthetic import identity_scenes
+    from deep_insight_face_tpu.evaluation.verification import evaluate
 
     cfg = default_config()
     cfg = cfg.replace(
         detector=dataclasses.replace(cfg.detector, variant="tiny_s2d"))
     fr = FaceRecognition(cfg)
 
-    # 6 held-out identities (disjoint from every training seed space),
-    # 2 scenes each, batch = all 12 at once
-    imgs, labels = identity_scenes(6, 2, size=416, seed=3,
+    # ≥20 held-out identities (disjoint from every training seed space:
+    # train 0.., crop-eval 10M.., e2e-script 20M.., this gate 30M..)
+    n_ids, per_id = 20, 3
+    imgs, labels = identity_scenes(n_ids, per_id, size=416, seed=3,
                                    id_offset=30_000_000)
-    emb, boxes, found = fr.face_encodings_batch(imgs)
+    embs, founds = [], []
+    for s in range(0, len(imgs), 12):
+        chunk = imgs[s:s + 12]
+        if len(chunk) < 12:
+            pad = np.repeat(chunk[-1:], 12 - len(chunk), axis=0)
+            e, _, f = fr.face_encodings_batch(np.concatenate([chunk, pad]))
+            e, f = e[:len(chunk)], f[:len(chunk)]
+        else:
+            e, _, f = fr.face_encodings_batch(chunk)
+        embs.append(e)
+        founds.append(f)
+    emb = np.concatenate(embs)
+    found = np.concatenate(founds)
 
-    assert found.mean() >= 0.75, f"detection rate {found.mean()}"
+    det_rate = float(found.mean())
+    assert det_rate >= MIN_DETECTION_RATE, (
+        f"detection rate {det_rate:.3f} < {MIN_DETECTION_RATE} — "
+        f"shipped detector/landmark quality collapsed"
+    )
 
-    en = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    cos = en @ en.T
-    n = len(labels)
-    same = (labels[:, None] == labels[None, :]) & ~np.eye(n, dtype=bool)
-    diff = labels[:, None] != labels[None, :]
-    # only score pairs where both faces were found
-    ok = found[:, None] & found[None, :]
-    gap = cos[same & ok].mean() - cos[diff & ok].mean()
-    assert gap > 0.3, f"identity cos gap {gap}"
-    # and the gap must be usable: every found same-pair closer than the
-    # mean diff-pair
-    assert cos[same & ok].min() > cos[diff & ok].mean()
+    # LFW-protocol verification over the pipeline embeddings: all same
+    # pairs + 5 impostor pairs per id
+    rp = np.random.default_rng(5)
+    by_id = {}
+    for i, l in enumerate(labels):
+        by_id.setdefault(int(l), []).append(i)
+    e1, e2, issame = [], [], []
+    ids = sorted(by_id)
+    for cid in ids:
+        idxs = by_id[cid]
+        for i_, a in enumerate(idxs):
+            for b in idxs[i_ + 1:]:
+                e1.append(a); e2.append(b); issame.append(True)
+        for _ in range(5):
+            other = int(rp.choice([c for c in ids if c != cid]))
+            e1.append(int(rp.choice(idxs)))
+            e2.append(int(rp.choice(by_id[other])))
+            issame.append(False)
+    interleaved = np.empty((2 * len(e1), emb.shape[1]), emb.dtype)
+    interleaved[0::2] = emb[np.array(e1)]
+    interleaved[1::2] = emb[np.array(e2)]
+    report = evaluate(
+        interleaved, np.array(issame),
+        nrof_folds=10, distance_metric=0, subtract_mean=True,
+    )
+    acc = float(np.mean(report.accuracy))
+    auc = float(report.auc)
+    assert acc >= MIN_ACCURACY, (
+        f"e2e verification accuracy {acc:.3f} < {MIN_ACCURACY} — "
+        f"shipped pipeline quality collapsed (AUC {auc:.3f}, "
+        f"EER {float(report.eer):.3f})"
+    )
+    assert auc >= MIN_AUC, f"e2e AUC {auc:.3f} < {MIN_AUC}"

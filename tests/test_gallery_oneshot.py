@@ -52,7 +52,7 @@ def test_gallery_save_load(tmp_path, rng):
     g.save(tmp_path / "g.npz")
     g2 = FaceGallery.load(tmp_path / "g.npz")
     assert g2.names == ["a", "b"]
-    names, _ = g2.identify(np.stack(g2._embs))
+    names, _ = g2.identify(g2._host())
     assert names == ["a", "b"]
 
 
@@ -227,3 +227,24 @@ def test_landmark_net_shapes():
     pts = m.apply(vs, jnp.zeros((2, 112, 112, 3)))
     assert pts.shape == (2, 68, 2)
     assert np.all(np.asarray(pts) >= 0) and np.all(np.asarray(pts) <= 1)
+
+def test_gallery_add_batch_bulk(rng):
+    """add_batch enrolls a (K, D) block without per-row Python cost and
+    matches per-row adds."""
+    g1 = FaceGallery(embedding_size=16)
+    g2 = FaceGallery(embedding_size=16)
+    embs = np.stack([_emb(rng, 16) for _ in range(10)])
+    names = [f"p{i}" for i in range(10)]
+    g1.add_batch(names, embs)
+    for n, e in zip(names, embs):
+        g2.add(n, e)
+    assert len(g1) == len(g2) == 10
+    q = embs[[3, 7]]
+    n1, s1 = g1.identify(q)
+    n2, s2 = g2.identify(q)
+    assert n1 == n2 == ["p3", "p7"]
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    with pytest.raises(ValueError):
+        g1.add_batch(["x"], np.zeros((1, 8)))
+    with pytest.raises(ValueError):
+        g1.add_batch(["x", "y"], np.zeros((1, 16)))

@@ -100,3 +100,32 @@ def test_mxu_warp_zero_border(rng):
     assert np.allclose(out[:, :, 25:], 200.0)  # in-range region
     ref = np.asarray(A.warp_affine(img, m, (32, 32)))
     np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_bf16_feed_close_to_fp32(rng):
+    """dtype=bfloat16 einsum feeds (the serving pipeline's setting) stay
+    within ~1.5 intensity units of the fp32 path on [0, 255] images."""
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.ops.align import (
+        crop_resize_boxes, warp_affine_mxu,
+    )
+
+    imgs = jnp.asarray(rng.uniform(0, 255, (3, 64, 64, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.array([[4, 6, 50, 60], [0, 0, 64, 64], [10, 10, 30, 40]],
+                 np.float32)
+    )
+    a = np.asarray(crop_resize_boxes(imgs, boxes, (32, 32)))
+    b = np.asarray(crop_resize_boxes(imgs, boxes, (32, 32),
+                                     dtype=jnp.bfloat16))
+    assert np.abs(a - b).max() < 1.5
+
+    mats = jnp.asarray(
+        np.tile(np.array([[0.9, -0.1, 5.0], [0.1, 0.9, -3.0]],
+                         np.float32), (3, 1, 1))
+    )
+    wa = np.asarray(warp_affine_mxu(imgs, mats, (64, 64)))
+    wb = np.asarray(warp_affine_mxu(imgs, mats, (64, 64),
+                                    dtype=jnp.bfloat16))
+    assert np.abs(wa - wb).max() < 1.5
