@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="resnet50v2")
     ap.add_argument("--detector-input", type=int, default=416)
+    ap.add_argument("--score-threshold", type=float, default=None,
+                    help="override DetectorConfig.score_threshold")
     ap.add_argument("--output", default=os.path.join(
         os.path.dirname(__file__), "..", "e2e_quality.json"))
     args = ap.parse_args()
@@ -60,10 +62,12 @@ def main() -> int:
     import dataclasses
 
     cfg = default_config()
+    det_kw = dict(variant="tiny_s2d", input_size=args.detector_input)
+    if args.score_threshold is not None:
+        det_kw["score_threshold"] = args.score_threshold
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, backbone=args.backbone),
-        detector=dataclasses.replace(cfg.detector, variant="tiny_s2d",
-                                     input_size=args.detector_input),
+        detector=dataclasses.replace(cfg.detector, **det_kw),
     )
 
     fr = FaceRecognition(cfg)
@@ -128,15 +132,36 @@ def main() -> int:
         e2.append(int(rp.choice(by_id[int(cb)])))
         issame.append(False)
     print(f"pairs: {n_same} genuine + {args.diff_pairs} impostor", flush=True)
-    interleaved = np.empty((2 * len(e1), embs.shape[1]), embs.dtype)
-    interleaved[0::2] = embs[np.array(e1)]
-    interleaved[1::2] = embs[np.array(e2)]
-    report = evaluate(
-        interleaved, np.array(issame),
-        nrof_folds=10, distance_metric=0, subtract_mean=True,
-        far_target=1e-3,
-    )
+    e1 = np.array(e1)
+    e2 = np.array(e2)
+    issame = np.array(issame)
+    # shuffle pair order: the k-fold protocol slices CONTIGUOUS folds, so
+    # genuine-then-impostor ordering would make entire folds single-class
+    # (TAR/EER/AUC undefined per fold)
+    perm = np.random.default_rng(11).permutation(len(e1))
+    e1, e2, issame = e1[perm], e2[perm], issame[perm]
+
+    def run_eval(mask):
+        interleaved = np.empty((2 * int(mask.sum()), embs.shape[1]), embs.dtype)
+        interleaved[0::2] = embs[e1[mask]]
+        interleaved[1::2] = embs[e2[mask]]
+        return evaluate(
+            interleaved, issame[mask],
+            nrof_folds=10, distance_metric=0, subtract_mean=True,
+            far_target=1e-3,
+        )
+
+    # metric of record: every pair counts, a detection miss is an error
+    report = run_eval(np.ones(len(e1), bool))
     print(report.summary(), flush=True)
+    # conditioned on detection: the embedder's own quality through the
+    # pipeline (misses fall back to the central crop; see
+    # pipeline._select_best_box)
+    both_found = found[e1] & found[e2]
+    report_det = run_eval(both_found)
+    print(f"detected-only pairs ({int(both_found.sum())}): "
+          f"accuracy {float(np.mean(report_det.accuracy)):.4f} "
+          f"auc {float(report_det.auc):.4f}", flush=True)
 
     out = {
         "weights_present": weights,
@@ -152,6 +177,13 @@ def main() -> int:
             "far_target": 1e-3,
             "tar_at_far_1e3": float(report.val),
             "far_achieved": float(report.far),
+        },
+        "verification_detected_only": {
+            "pairs": int(both_found.sum()),
+            "accuracy": float(np.mean(report_det.accuracy)),
+            "auc": float(report_det.auc),
+            "eer": float(report_det.eer),
+            "tar_at_far_1e3": float(report_det.val),
         },
         "pipeline": "detect->nms->landmark68->similarity_align->embed "
                     f"(tiny_s2d + LandmarkNet + {cfg.model.backbone})",

@@ -186,3 +186,46 @@ def test_align_pipeline_matches_serving_pipeline(rng):
     np.testing.assert_allclose(
         np.asarray(emb_from_crops), np.asarray(out.embeddings), atol=1e-6
     )
+
+
+def test_two_threshold_select_best_box():
+    """Candidate floor feeds the crop; ``found`` stays decision-gated.
+
+    The serving pipelines keep NMS survivors down to
+    DetectorConfig.candidate_threshold so a hard-pose face still yields
+    the best possible crop, while ``found`` requires the decision
+    threshold (reference score_threshold semantics on faceless frames).
+    """
+    from deep_insight_face_tpu.pipeline import _select_best_box
+
+    boxes = jnp.asarray(
+        [[10.0, 10.0, 50.0, 50.0], [0.0, 0.0, 4.0, 4.0]], jnp.float32
+    )
+    # confident candidate: crop from it, found=True
+    box, score, found = _select_best_box(
+        boxes, jnp.asarray([0.9, 0.1]), jnp.asarray([True, True]),
+        (64, 64), 0.4,
+    )
+    assert bool(found) and float(score) == pytest.approx(0.9)
+    np.testing.assert_allclose(np.asarray(box), boxes[0])
+
+    # low-confidence candidate only: crop STILL from the candidate box
+    # (recall), but found=False (precision)
+    box, score, found = _select_best_box(
+        boxes, jnp.asarray([0.05, 0.01]), jnp.asarray([True, False]),
+        (64, 64), 0.4,
+    )
+    assert not bool(found)
+    np.testing.assert_allclose(np.asarray(box), boxes[0])
+
+    # no candidate at all: centered fallback square, found=False
+    box, _, found = _select_best_box(
+        boxes, jnp.asarray([0.0, 0.0]), jnp.asarray([False, False]),
+        (64, 64), 0.4,
+    )
+    assert not bool(found)
+    side = 0.6 * 64
+    np.testing.assert_allclose(
+        np.asarray(box),
+        [(64 - side) / 2, (64 - side) / 2, (64 + side) / 2, (64 + side) / 2],
+    )
