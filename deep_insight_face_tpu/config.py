@@ -56,7 +56,12 @@ class DetectorConfig:
     detector/yolo_cfg/yolo_anchors.txt).
     """
 
-    variant: str = "full"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem)
+    # Default = the shipped serving detector: trained tiny_s2d weights
+    # auto-load in api.FaceRecognition / detector.runner.FaceDetector.
+    # "full" (Darknet-53, the reference's default architecture) and
+    # "tiny" remain available but ship no trained weights — select them
+    # only with weights of your own (cli convert-weights / train-detector).
+    variant: str = "tiny_s2d"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem)
     input_size: int = 416
     max_boxes: int = 20
     score_threshold: float = 0.4
