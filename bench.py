@@ -143,12 +143,16 @@ def measure(cfg, batch, frame_size, measure_single=True):
         "batch_latency_ms": round(best / (chain * reps) * 1000.0, 2),
     }
 
-    # single-image p50 latency (BASELINE metric): batch-1 pipeline with
-    # the embedding reduction fused INTO the jitted program, so each
-    # timed call is exactly one dispatch + one scalar fetch — the r2
-    # harness issued the pipeline and a separate jnp.sum as two
-    # dispatches, paying the remote-tunnel RTT twice per sample (the
-    # bulk of its 33.5 → 46.3 ms regression).
+    # single-image p50 latency (BASELINE metric): batch-1 pipeline where
+    # each timed sample is EXACTLY one dispatch + one scalar fetch — the
+    # input perturbation (unique value per call, defeats tunnel value
+    # caching) rides INSIDE the jitted program as a scalar argument. The
+    # r2 harness issued an eager `img + i` device add inside the timed
+    # region, paying the remote-tunnel RTT twice per sample — the bulk
+    # of its reported 33.5 → 46.3 ms "regression". The dispatch floor
+    # (a trivial one-op program through the same dispatch+fetch path) is
+    # measured alongside and reported as dispatch_floor_ms: on-host
+    # serving latency ≈ p50 − floor + device compute.
     if measure_single and platform == "tpu":
         run1 = build_pipeline(
             cfg, embed_model, det_model, jit=False,
@@ -156,22 +160,33 @@ def measure(cfg, batch, frame_size, measure_single=True):
         )
 
         @jax.jit
-        def run1_scalar(dv, lv, ev, img):
-            o = run1(dv, lv, ev, img)
+        def run1_scalar(dv, lv, ev, img, i):
+            o = run1(dv, lv, ev, img + i)
             return jnp.sum(o.embeddings) + jnp.sum(o.boxes) * 1e-6
+
+        @jax.jit
+        def _floor(i):
+            return i * 1.0000001 + 1.0
 
         dv, lv, ev = (variables["detector"], variables["landmark"],
                       variables["embed"])
         one = batches[0][:1]
-        float(run1_scalar(dv, lv, ev, one))
-        lats = []
-        for i in range(9):
-            t0 = time.perf_counter()
-            float(run1_scalar(dv, lv, ev, one + float(i + 1)))
-            lats.append(time.perf_counter() - t0)
+        float(run1_scalar(dv, lv, ev, one, jnp.float32(0)))
+        float(_floor(jnp.float32(0)))
+
+        def _p50(fn, n=15):
+            lats = []
+            for i in range(n):
+                arg = jnp.float32(i + 1)
+                t0 = time.perf_counter()
+                float(fn(arg))
+                lats.append(time.perf_counter() - t0)
+            return sorted(lats)[len(lats) // 2] * 1000.0
+
         result["p50_single_image_ms"] = round(
-            sorted(lats)[len(lats) // 2] * 1000.0, 2
+            _p50(lambda i: run1_scalar(dv, lv, ev, one, i)), 2
         )
+        result["dispatch_floor_ms"] = round(_p50(_floor), 2)
     return result
 
 
