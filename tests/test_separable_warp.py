@@ -129,3 +129,38 @@ def test_bf16_feed_close_to_fp32(rng):
     wb = np.asarray(warp_affine_mxu(imgs, mats, (64, 64),
                                     dtype=jnp.bfloat16))
     assert np.abs(wa - wb).max() < 1.5
+
+
+def test_int8_feed_close_to_fp32(rng):
+    """dtype=int8 quantized interpolation (the serving pipeline's
+    setting: s8×s8→s32 on the MXU, half the weight-tensor HBM bytes of
+    bf16) stays within ~6 intensity units of fp32 on [0, 255] images and
+    dequantizes back to float32."""
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.ops.align import (
+        crop_resize_boxes, warp_affine_mxu,
+    )
+
+    imgs = jnp.asarray(rng.uniform(0, 255, (3, 64, 64, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.array([[4, 6, 50, 60], [0, 0, 64, 64], [10, 10, 30, 40]],
+                 np.float32)
+    )
+    a = np.asarray(crop_resize_boxes(imgs, boxes, (32, 32)))
+    b = np.asarray(crop_resize_boxes(imgs, boxes, (32, 32),
+                                     dtype=jnp.int8))
+    assert b.dtype == np.float32
+    assert np.abs(a - b).max() < 6.0
+    assert np.abs(a - b).mean() < 1.5
+
+    mats = jnp.asarray(
+        np.tile(np.array([[0.9, -0.1, 5.0], [0.1, 0.9, -3.0]],
+                         np.float32), (3, 1, 1))
+    )
+    wa = np.asarray(warp_affine_mxu(imgs, mats, (64, 64)))
+    wb = np.asarray(warp_affine_mxu(imgs, mats, (64, 64),
+                                    dtype=jnp.int8))
+    assert wb.dtype == np.float32
+    assert np.abs(wa - wb).max() < 6.0
+    assert np.abs(wa - wb).mean() < 1.5
