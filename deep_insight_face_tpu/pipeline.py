@@ -300,6 +300,8 @@ def build_multiface_pipeline(
     embed_model: EmbeddingModel,
     detector_model: Optional[YoloV3] = None,
     jit: bool = True,
+    frame_dtype=jnp.float32,
+    interp_dtype=jnp.int8,
 ):
     """All-faces variant: embeds every valid detection (up to
     ``detector.max_boxes`` per image) instead of the single best face —
@@ -322,7 +324,7 @@ def build_multiface_pipeline(
 
     def run(detector_vars, embed_vars, images) -> MultiFaceOutput:
         n, h, w, _ = images.shape
-        x = images.astype(jnp.float32)
+        x = images.astype(frame_dtype)
         boxed, meta = letterbox(x, det_cfg.input_size)
         heads = detector_model.apply(detector_vars, boxed / 255.0, train=False)
         raw_boxes, raw_scores = decode_detections(
@@ -357,7 +359,7 @@ def build_multiface_pipeline(
         imgs_rep = jnp.repeat(x, mb, axis=0)  # (N·mb, H, W, C)
         crops = crop_resize_boxes(
             imgs_rep, expanded.reshape(-1, 4), (out_size, out_size),
-            dtype=jnp.bfloat16,
+            dtype=interp_dtype,
         )
         emb = embed_model.apply(
             embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False

@@ -229,3 +229,42 @@ def test_two_threshold_select_best_box():
         np.asarray(box),
         [(64 - side) / 2, (64 - side) / 2, (64 + side) / 2, (64 + side) / 2],
     )
+
+
+def test_faceless_frames_report_no_face():
+    """Precision side of the two-threshold design: frames with no face
+    (blank, and distractor clutter without a face) must report
+    found=False through the serving pipeline, even though the candidate
+    floor keeps low-score NMS survivors for the crop."""
+    import dataclasses
+
+    from deep_insight_face_tpu.config import default_config
+    from deep_insight_face_tpu.models import build_embedding_model
+    from deep_insight_face_tpu.pipeline import build_pipeline, make_detector_model
+    from deep_insight_face_tpu.utils import pretrained
+
+    cfg = default_config()
+    det_vars = pretrained.load_detector_variables("tiny_s2d", 416)
+    if det_vars is None:
+        pytest.skip("shipped detector weights not present")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, backbone="mobilenetv2"))
+    em = build_embedding_model(cfg.model)
+    dm, _ = make_detector_model(cfg.detector)
+    ev = em.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))
+    run = build_pipeline(cfg, em, dm, align="box")
+
+    rng_np = np.random.default_rng(3)
+    blank = np.zeros((416, 416, 3), np.float32)
+    noise = rng_np.uniform(0, 255, (416, 416, 3)).astype(np.float32)
+    clutter = np.zeros((416, 416, 3), np.float32)
+    for _ in range(8):  # distractor rectangles, no face
+        cx, cy = rng_np.integers(40, 376, 2)
+        hw = rng_np.integers(10, 60, 2)
+        clutter[cy - hw[0] // 2:cy + hw[0] // 2,
+                cx - hw[1] // 2:cx + hw[1] // 2] = rng_np.uniform(0, 255, 3)
+    batch = jnp.asarray(np.stack([blank, noise, clutter]))
+    out = run(det_vars, ev, batch)
+    assert not bool(np.asarray(out.found).any()), (
+        f"faceless frames reported found={np.asarray(out.found)} "
+        f"scores={np.asarray(out.scores)}"
+    )
