@@ -64,11 +64,12 @@ def _select_best_box(boxes, scores, valid, image_hw, decision_threshold):
     down to the low ``candidate_threshold`` floor, so the crop/embedding
     always comes from the best available candidate box (recall), while
     ``found`` additionally requires the selected box to clear
-    ``decision_threshold`` (the reference's score_threshold) so faceless
-    frames keep reporting no face (precision). Measured on the held-out
-    procedural world: candidate floor 0.02 lifts pair-level e2e accuracy
-    0.979 → 0.9985 (TAR@FAR=1e-3 0.913 → 0.994) with the faceless
-    found-rate still 0 at the 0.4 decision gate.
+    ``DetectorConfig.decision_threshold`` so faceless frames keep
+    reporting no face (precision; the threshold is the measured operating
+    point for the shipped detector — see config.py). Measured on the
+    held-out procedural world: candidate floor 0.02 lifts pair-level e2e
+    accuracy 0.979 → 0.9985 (TAR@FAR=1e-3 0.913 → 0.994) with the
+    faceless found-rate 0 at the decision gate.
 
     When NO candidate survives at all, the box falls back to a centered
     square over the middle of the frame instead of whatever garbage slot
@@ -154,16 +155,16 @@ def build_pipeline(
             raw_boxes, face_scores, max_boxes=det_cfg.max_boxes,
             iou_threshold=det_cfg.iou_threshold,
             # NMS floor = candidate threshold (recall); the ``found``
-            # decision gate stays at score_threshold in _select_best_box
+            # decision gate is applied in _select_best_box
             score_threshold=min(det_cfg.candidate_threshold,
-                                det_cfg.score_threshold),
+                                det_cfg.decision_threshold),
             approx_topk=True,
         )
 
         def per_image(b, s, v):
             b = correct_letterbox_boxes(b, meta, det_cfg.input_size, (h, w))
             return _select_best_box(b, s, v, (h, w),
-                                    det_cfg.score_threshold)
+                                    det_cfg.decision_threshold)
 
         return jax.vmap(per_image)(ob, os_, valid)
 

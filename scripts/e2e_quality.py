@@ -46,8 +46,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="resnet50v2")
     ap.add_argument("--detector-input", type=int, default=416)
-    ap.add_argument("--score-threshold", type=float, default=None,
-                    help="override DetectorConfig.score_threshold")
+    ap.add_argument("--decision-threshold", type=float, default=None,
+                    help="override DetectorConfig.decision_threshold "
+                         "(the best-face found gate)")
     ap.add_argument("--output", default=os.path.join(
         os.path.dirname(__file__), "..", "e2e_quality.json"))
     args = ap.parse_args()
@@ -63,8 +64,8 @@ def main() -> int:
 
     cfg = default_config()
     det_kw = dict(variant="tiny_s2d", input_size=args.detector_input)
-    if args.score_threshold is not None:
-        det_kw["score_threshold"] = args.score_threshold
+    if args.decision_threshold is not None:
+        det_kw["decision_threshold"] = args.decision_threshold
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, backbone=args.backbone),
         detector=dataclasses.replace(cfg.detector, **det_kw),

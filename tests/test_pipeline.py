@@ -29,7 +29,8 @@ def small_cfg():
                           image_size=32, compute_dtype="float32",
                           width_multiplier=0.35),
         detector=DetectorConfig(variant="tiny", input_size=128,
-                                score_threshold=0.0),
+                                score_threshold=0.0,
+                                decision_threshold=0.0),
         data=DataConfig(preprocess_mode="tf"),
     )
 
