@@ -64,15 +64,19 @@ class DetectorConfig:
     variant: str = "tiny_s2d"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem)
     input_size: int = 416
     max_boxes: int = 20
+    # Multi-face ENUMERATION threshold (build_multiface_pipeline,
+    # detector.runner.FaceDetector) — the reference's 0.4 constant
+    # (detector/run.py:135). NOTE: the best-face pipelines' ``found``
+    # output is NOT gated here — raise/lower ``decision_threshold`` to
+    # tune frame-level face/no-face reporting.
     score_threshold: float = 0.4
     # Candidate floor for the best-face serving pipelines: NMS keeps
     # boxes down to this score so a hard-pose face still yields the best
     # possible crop+embedding, while ``found`` stays gated on
-    # ``score_threshold`` (the reference's decision threshold) so
-    # faceless frames keep reporting no face. Measured on the held-out
-    # procedural world (scripts/e2e_quality.py): candidate floor 0.02
-    # lifts crop coverage 0.956 → 0.997 with faceless found-rate still 0
-    # at the 0.4 decision gate.
+    # ``decision_threshold`` below so faceless frames keep reporting no
+    # face. Measured on the held-out procedural world
+    # (scripts/e2e_quality.py): the candidate floor lifts crop coverage
+    # 0.956 → 0.997 with the faceless found-rate still 0 at the gate.
     candidate_threshold: float = 0.02
     # "Is there a face in this frame?" gate for the best-face pipelines'
     # ``found`` output. Measured operating point for the SHIPPED detector

@@ -659,20 +659,14 @@ def pipeline_emitted_dataset(
         )
     else:
         imgs, labels = scenes
-    crops = np.empty((len(imgs), size, size, 3), np.uint8)
-    found = np.zeros((len(imgs),), bool)
-    for s in range(0, len(imgs), batch):
-        chunk = imgs[s : s + batch]
-        n = len(chunk)
-        if n < batch:  # static-shape program: pad the tail batch
-            chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], batch - n, axis=0)]
-            )
+    from deep_insight_face_tpu.utils.batching import batched_apply
+
+    def run(chunk):
         out = align(dv, lv, jnp.asarray(chunk))
-        crops[s : s + n] = np.clip(
-            np.asarray(out.crops[:n]), 0, 255
-        ).astype(np.uint8)
-        found[s : s + n] = np.asarray(out.found[:n])
+        c = np.clip(np.asarray(out.crops), 0, 255).astype(np.uint8)
+        return c, np.asarray(out.found)
+
+    crops, found = batched_apply(run, imgs, batch)
     return crops[found], labels[found], float(found.mean())
 
 

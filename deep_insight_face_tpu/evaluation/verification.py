@@ -367,3 +367,81 @@ def format_confusion_matrix(
         f"recall={recall:.4f} precision={precision:.4f} f1={f1:.4f}",
     ]
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# labeled-embedding pair construction (shared by the e2e quality script,
+# the shipped-weights CI gate, and the embedder training eval — one
+# implementation so protocol details like fold-shuffling cannot diverge)
+# ---------------------------------------------------------------------------
+
+
+def verification_pairs(
+    labels: Sequence[int],
+    rng: np.random.Generator,
+    same_per_id: Optional[int] = None,
+    impostors_per_id: int = 0,
+    impostors_total: int = 0,
+    shuffle: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Build genuine/impostor verification pairs over identity labels.
+
+    Returns (idx1, idx2, issame) index arrays into the embedding table.
+    ``same_per_id=None`` emits EVERY within-identity pair; an integer
+    caps each identity at that many (a random subset of its exhaustive
+    combinations). Impostors come as ``impostors_per_id`` per identity
+    and/or ``impostors_total`` drawn uniformly over identity pairs.
+    ``shuffle`` permutes the pair order —
+    REQUIRED before :func:`evaluate`'s contiguous k-folds (genuine-then-
+    impostor ordering would make entire folds single-class, leaving
+    TAR/EER/AUC undefined per fold).
+    """
+    by_id: dict = {}
+    for i, l in enumerate(labels):
+        by_id.setdefault(int(l), []).append(i)
+    ids = sorted(cid for cid, idxs in by_id.items() if len(idxs) >= 2)
+    all_ids = sorted(by_id)
+    e1: list = []
+    e2: list = []
+    issame: list = []
+    for cid in ids:
+        idxs = by_id[cid]
+        combos = [(a, b) for i_, a in enumerate(idxs) for b in idxs[i_ + 1:]]
+        if same_per_id is not None:
+            rng.shuffle(combos)
+            combos = combos[:same_per_id]
+        for a, b in combos:
+            e1.append(int(a)); e2.append(int(b)); issame.append(True)
+        for _ in range(impostors_per_id):
+            other = int(rng.choice([c for c in all_ids if c != cid]))
+            e1.append(int(rng.choice(idxs)))
+            e2.append(int(rng.choice(by_id[other])))
+            issame.append(False)
+    for _ in range(impostors_total):
+        ca, cb = rng.choice(all_ids, 2, replace=False)
+        e1.append(int(rng.choice(by_id[int(ca)])))
+        e2.append(int(rng.choice(by_id[int(cb)])))
+        issame.append(False)
+    e1a, e2a, sa = np.array(e1), np.array(e2), np.array(issame, bool)
+    if shuffle:
+        perm = rng.permutation(len(e1a))
+        e1a, e2a, sa = e1a[perm], e2a[perm], sa[perm]
+    return e1a, e2a, sa
+
+
+def evaluate_pairs(
+    embeddings: np.ndarray,
+    idx1: np.ndarray,
+    idx2: np.ndarray,
+    issame: np.ndarray,
+    **evaluate_kwargs,
+) -> VerificationReport:
+    """Interleave ``embeddings[idx1]``/``embeddings[idx2]`` pairwise and
+    run :func:`evaluate` (the [0::2]/[1::2] convention of
+    reference utility.py:18-19)."""
+    embeddings = np.asarray(embeddings)
+    interleaved = np.empty((2 * len(idx1), embeddings.shape[1]),
+                           embeddings.dtype)
+    interleaved[0::2] = embeddings[np.asarray(idx1)]
+    interleaved[1::2] = embeddings[np.asarray(idx2)]
+    return evaluate(interleaved, np.asarray(issame), **evaluate_kwargs)

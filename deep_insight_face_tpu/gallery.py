@@ -126,9 +126,13 @@ class FaceGallery:
                 model_axis = axes[1] if len(axes) > 1 else axes[0]
                 import jax
 
+                # device_put the HOST array with the sharding attached:
+                # each device receives only its own rows. (jnp.asarray
+                # first would commit the FULL gallery to the default
+                # device — at aggregate-mesh capacity that single-chip
+                # staging copy OOMs before the resharding ever applies.)
                 self._device_gallery = jax.device_put(
-                    jnp.asarray(g),
-                    NamedSharding(self.mesh, P(model_axis, None)),
+                    g, NamedSharding(self.mesh, P(model_axis, None))
                 )
             else:
                 self._device_gallery = jnp.asarray(g)
@@ -202,10 +206,12 @@ class FaceGallery:
         )
 
     @classmethod
-    def load(cls, path: str) -> "FaceGallery":
+    def load(cls, path: str, mesh=None) -> "FaceGallery":
+        """Restore a saved gallery; pass ``mesh`` to restore straight
+        into the sharded configuration. Bulk path — no per-row loop."""
         data = np.load(path, allow_pickle=False)
         emb = data["embeddings"]
-        g = cls(embedding_size=emb.shape[1] if emb.size else 128)
-        for n, e in zip(data["names"], emb):
-            g.add(str(n), e)
+        g = cls(embedding_size=emb.shape[1] if emb.size else 128, mesh=mesh)
+        if len(emb):
+            g.add_batch([str(n) for n in data["names"]], emb)
         return g

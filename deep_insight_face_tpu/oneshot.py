@@ -192,21 +192,17 @@ def make_trainer_validator(
         return model.apply(variables, preprocess(x, mode), train=False)
 
     def _embed_paths_fn(variables):
+        from deep_insight_face_tpu.utils.batching import batched_apply
+
         def embed_paths(paths: Sequence[str]) -> np.ndarray:
             imgs = np.stack(
                 [load_image(p, size) for p in paths]
             ).astype(np.float32)
-            out = []
-            for s in range(0, len(imgs), embed_chunk):
-                chunk = imgs[s : s + embed_chunk]
-                n = len(chunk)
-                if n < embed_chunk:  # keep the jit cache to one geometry
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((embed_chunk - n, *chunk.shape[1:]),
-                                         chunk.dtype)]
-                    )
-                out.append(np.asarray(_embed(variables, jnp.asarray(chunk)))[:n])
-            return np.concatenate(out)
+            # fixed-geometry batches (one jit compile); helper pads+trims
+            return batched_apply(
+                lambda c: _embed(variables, jnp.asarray(c)), imgs,
+                embed_chunk,
+            )
 
         return embed_paths
 
@@ -215,9 +211,13 @@ def make_trainer_validator(
     def hook(epoch: int, state) -> float:
         params = {k: v for k, v in state.params.items() if k != "classifier"}
         variables = {"params": params, "batch_stats": state.batch_stats}
+        # FIXED task sample across epochs: best-weight selection compares
+        # accuracies, so every epoch must be scored on the SAME tasks —
+        # resampling per epoch adds ±1/sqrt(k_tasks) binomial noise and
+        # the argmax latches whichever epoch drew easy tasks
         acc = evaluate_oneshot(
             _embed_paths_fn(variables), classes, n_way, k_tasks,
-            seed=seed + epoch,
+            seed=seed,
         )
         trainer.logger.log(
             int(state.step), {"oneshot_acc": acc, "oneshot_epoch": epoch}

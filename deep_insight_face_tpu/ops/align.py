@@ -284,7 +284,6 @@ def warp_affine_mxu(
     d, e, f = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
     n, h, w, _ = images.shape
     oh, ow = out_hw
-    x = images.astype(dtype if dtype != jnp.int8 else jnp.float32)
     xg = jnp.arange(ow, dtype=jnp.float32)
     yg = jnp.arange(oh, dtype=jnp.float32)
     vg = jnp.arange(h, dtype=jnp.float32)
@@ -326,6 +325,7 @@ def warp_affine_mxu(
                          preferred_element_type=jnp.int32)
         return out.astype(jnp.float32) * (2.0 * 128.0 / (127.0 * 127.0))
 
+    x = images.astype(dtype)
     tmp = jnp.einsum("nvxu,nvuc->nvxc", w1.astype(dtype), x,
                      preferred_element_type=jnp.float32).astype(dtype)
     return jnp.einsum("nyxv,nvxc->nyxc", w2.astype(dtype), tmp,

@@ -230,7 +230,6 @@ def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
     if model_axis == data_axis:
         # one-axis mesh: shard the gallery over it, replicate queries
         data_axis = None
-    n_model = mesh.shape[model_axis]
 
     def body(q, g):
         local_n = g.shape[0]
@@ -249,7 +248,6 @@ def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
         out_specs=(o_spec, o_spec),
         check_rep=False,
     )
-    del n_model
     return jax.jit(matcher)
 
 

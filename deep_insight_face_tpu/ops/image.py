@@ -489,7 +489,14 @@ def _sometimes(key: jax.Array, prob: float, fn, x: jnp.ndarray) -> jnp.ndarray:
     equivalent of the reference's iaa.Sometimes wrappers, which gate
     every op at 0.1-0.5 — an always-on composition is a far stronger
     distribution shift than the reference ever applies and measurably
-    degrades ArcFace convergence on color-coded identities)."""
+    degrades ArcFace convergence on color-coded identities).
+
+    Cost note: under jit's static shapes ``fn`` necessarily computes on
+    the FULL batch and the coin only masks the result, so an op's cost
+    is proportional to 1.0, not ``prob``. That is why the heavy tail
+    ops (exact-CDF histogram equalization's per-image sort, the dense
+    rotate-crop warp) live only in the opt-in ``all`` stack — the
+    default training stacks keep the always-paid set cheap."""
     k1, k2 = jax.random.split(key)
     on = jax.random.bernoulli(k1, prob, (x.shape[0],))
     return jnp.where(on[:, None, None, None], fn(k2, x), x)

@@ -82,7 +82,16 @@ def _select_best_box(boxes, scores, valid, image_hw, decision_threshold):
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
     cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
-    quality = jnp.where(valid, areas - 2.0 * (cx**2 + cy**2), -jnp.inf)
+    geom = areas - 2.0 * (cx**2 + cy**2)
+    # two-tier ranking: any candidate clearing the decision gate beats
+    # every sub-gate candidate, with geometry breaking ties WITHIN a
+    # tier — a centered low-score clutter box admitted by the candidate
+    # floor must never outrank a confident off-center face (geometry
+    # alone would let it: a centered 100² box at score 0.03 scores
+    # higher than a 120² face 100 px off-center at 0.9)
+    confident = scores >= decision_threshold
+    tier = jnp.where(confident, jnp.float32(1e9), 0.0)
+    quality = jnp.where(valid, geom + tier, -jnp.inf)
     i = jnp.argmax(quality)
     has_candidate = valid[i]
     found = has_candidate & (scores[i] >= decision_threshold)

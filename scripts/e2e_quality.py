@@ -58,7 +58,6 @@ def main() -> int:
     from deep_insight_face_tpu.api import FaceRecognition
     from deep_insight_face_tpu.config import default_config
     from deep_insight_face_tpu.data.synthetic import identity_scenes
-    from deep_insight_face_tpu.evaluation.verification import evaluate
 
     import dataclasses
 
@@ -96,58 +95,28 @@ def main() -> int:
     )
     print(f"  done in {time.time()-t0:.0f}s", flush=True)
 
-    embs, founds = [], []
-    for s in range(0, len(imgs), args.batch):
-        chunk = imgs[s:s + args.batch]
-        if len(chunk) < args.batch:  # static-shape pipeline: pad the tail
-            pad = np.repeat(chunk[-1:], args.batch - len(chunk), axis=0)
-            e, _, f = fr.face_encodings_batch(np.concatenate([chunk, pad]))
-            e, f = e[: len(chunk)], f[: len(chunk)]
-        else:
-            e, _, f = fr.face_encodings_batch(chunk)
-        embs.append(e)
-        founds.append(f)
-    embs = np.concatenate(embs)
-    found = np.concatenate(founds)
+    from deep_insight_face_tpu.evaluation.verification import (
+        evaluate_pairs, verification_pairs,
+    )
+    from deep_insight_face_tpu.utils.batching import batched_apply
+
+    embs, _, found = batched_apply(fr.face_encodings_batch, imgs, args.batch)
     det_rate = float(found.mean())
     print(f"detection rate: {det_rate:.3f}", flush=True)
 
     # LFW-protocol pairs over pipeline embeddings: every same pair (up to
-    # --same-per-id each) + --diff-pairs sampled impostors
-    rp = np.random.default_rng(7)
-    by_id = {}
-    for i, l in enumerate(labels):
-        by_id.setdefault(int(l), []).append(i)
-    e1, e2, issame = [], [], []
-    ids = sorted(by_id)
-    for cid in ids:
-        idxs = by_id[cid]
-        combos = [(a, b) for i_, a in enumerate(idxs) for b in idxs[i_ + 1:]]
-        rp.shuffle(combos)
-        for a, b in combos[: args.same_per_id]:
-            e1.append(int(a)); e2.append(int(b)); issame.append(True)
-    n_same = len(e1)
-    for _ in range(args.diff_pairs):
-        ca, cb = rp.choice(ids, 2, replace=False)
-        e1.append(int(rp.choice(by_id[int(ca)])))
-        e2.append(int(rp.choice(by_id[int(cb)])))
-        issame.append(False)
+    # --same-per-id each) + --diff-pairs sampled impostors, shuffled so
+    # the contiguous k-folds stay two-class (see verification_pairs)
+    e1, e2, issame = verification_pairs(
+        labels, np.random.default_rng(7), same_per_id=args.same_per_id,
+        impostors_total=args.diff_pairs,
+    )
+    n_same = int(issame.sum())
     print(f"pairs: {n_same} genuine + {args.diff_pairs} impostor", flush=True)
-    e1 = np.array(e1)
-    e2 = np.array(e2)
-    issame = np.array(issame)
-    # shuffle pair order: the k-fold protocol slices CONTIGUOUS folds, so
-    # genuine-then-impostor ordering would make entire folds single-class
-    # (TAR/EER/AUC undefined per fold)
-    perm = np.random.default_rng(11).permutation(len(e1))
-    e1, e2, issame = e1[perm], e2[perm], issame[perm]
 
     def run_eval(mask):
-        interleaved = np.empty((2 * int(mask.sum()), embs.shape[1]), embs.dtype)
-        interleaved[0::2] = embs[e1[mask]]
-        interleaved[1::2] = embs[e2[mask]]
-        return evaluate(
-            interleaved, issame[mask],
+        return evaluate_pairs(
+            embs, e1[mask], e2[mask], issame[mask],
             nrof_folds=10, distance_metric=0, subtract_mean=True,
             far_target=1e-3,
         )

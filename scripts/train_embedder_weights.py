@@ -225,28 +225,18 @@ def main() -> int:
         embs.append(np.asarray(embed(variables, jnp.asarray(ev_imgs[s:s+128]))))
     embs = np.concatenate(embs)
 
-    # build balanced same/diff pairs over held-out ids
-    rp = np.random.default_rng(7)
-    by_id = {}
-    for i, l in enumerate(ev_labels):
-        by_id.setdefault(int(l), []).append(i)
-    e1, e2, issame = [], [], []
-    ids = sorted(cid for cid, idxs in by_id.items() if len(idxs) >= 2)
-    for cid in ids:
-        idxs = by_id[cid]
-        for _ in range(6):  # 6 same pairs per id
-            a, b = rp.choice(idxs, 2, replace=False)
-            e1.append(a); e2.append(b); issame.append(True)
-        for _ in range(6):  # 6 diff pairs per id
-            other = int(rp.choice([c for c in ids if c != cid]))
-            e1.append(int(rp.choice(idxs)))
-            e2.append(int(rp.choice(by_id[other])))
-            issame.append(False)
-    interleaved = np.empty((2 * len(e1), embs.shape[1]), embs.dtype)
-    interleaved[0::2] = embs[np.array(e1)]
-    interleaved[1::2] = embs[np.array(e2)]
-    report = evaluate(
-        interleaved, np.array(issame),
+    # balanced same/diff pairs over held-out ids (shared builder — caps
+    # genuine pairs per id, shuffles for two-class k-folds)
+    from deep_insight_face_tpu.evaluation.verification import (
+        evaluate_pairs, verification_pairs,
+    )
+
+    e1, e2, issame = verification_pairs(
+        ev_labels, np.random.default_rng(7), same_per_id=6,
+        impostors_per_id=6,
+    )
+    report = evaluate_pairs(
+        embs, e1, e2, issame,
         nrof_folds=10, distance_metric=0, subtract_mean=True,
     )
     print(report.summary(), flush=True)

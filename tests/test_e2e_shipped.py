@@ -43,7 +43,6 @@ def test_shipped_pipeline_quality_gate():
     from deep_insight_face_tpu.api import FaceRecognition
     from deep_insight_face_tpu.config import default_config
     from deep_insight_face_tpu.data.synthetic import identity_scenes
-    from deep_insight_face_tpu.evaluation.verification import evaluate
 
     cfg = default_config()
     cfg = cfg.replace(
@@ -55,19 +54,9 @@ def test_shipped_pipeline_quality_gate():
     n_ids, per_id = 20, 3
     imgs, labels = identity_scenes(n_ids, per_id, size=416, seed=3,
                                    id_offset=30_000_000)
-    embs, founds = [], []
-    for s in range(0, len(imgs), 12):
-        chunk = imgs[s:s + 12]
-        if len(chunk) < 12:
-            pad = np.repeat(chunk[-1:], 12 - len(chunk), axis=0)
-            e, _, f = fr.face_encodings_batch(np.concatenate([chunk, pad]))
-            e, f = e[:len(chunk)], f[:len(chunk)]
-        else:
-            e, _, f = fr.face_encodings_batch(chunk)
-        embs.append(e)
-        founds.append(f)
-    emb = np.concatenate(embs)
-    found = np.concatenate(founds)
+    from deep_insight_face_tpu.utils.batching import batched_apply
+
+    emb, _, found = batched_apply(fr.face_encodings_batch, imgs, 12)
 
     det_rate = float(found.mean())
     assert det_rate >= MIN_DETECTION_RATE, (
@@ -76,28 +65,17 @@ def test_shipped_pipeline_quality_gate():
     )
 
     # LFW-protocol verification over the pipeline embeddings: all same
-    # pairs + 5 impostor pairs per id
-    rp = np.random.default_rng(5)
-    by_id = {}
-    for i, l in enumerate(labels):
-        by_id.setdefault(int(l), []).append(i)
-    e1, e2, issame = [], [], []
-    ids = sorted(by_id)
-    for cid in ids:
-        idxs = by_id[cid]
-        for i_, a in enumerate(idxs):
-            for b in idxs[i_ + 1:]:
-                e1.append(a); e2.append(b); issame.append(True)
-        for _ in range(5):
-            other = int(rp.choice([c for c in ids if c != cid]))
-            e1.append(int(rp.choice(idxs)))
-            e2.append(int(rp.choice(by_id[other])))
-            issame.append(False)
-    interleaved = np.empty((2 * len(e1), emb.shape[1]), emb.dtype)
-    interleaved[0::2] = emb[np.array(e1)]
-    interleaved[1::2] = emb[np.array(e2)]
-    report = evaluate(
-        interleaved, np.array(issame),
+    # pairs + 5 impostor pairs per id (shared builder shuffles pair
+    # order so the contiguous k-folds stay two-class)
+    from deep_insight_face_tpu.evaluation.verification import (
+        evaluate_pairs, verification_pairs,
+    )
+
+    e1, e2, issame = verification_pairs(
+        labels, np.random.default_rng(5), impostors_per_id=5,
+    )
+    report = evaluate_pairs(
+        emb, e1, e2, issame,
         nrof_folds=10, distance_metric=0, subtract_mean=True,
     )
     acc = float(np.mean(report.accuracy))

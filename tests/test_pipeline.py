@@ -269,3 +269,31 @@ def test_faceless_frames_report_no_face():
         f"faceless frames reported found={np.asarray(out.found)} "
         f"scores={np.asarray(out.scores)}"
     )
+
+
+def test_confident_candidate_outranks_centered_clutter():
+    """Two-tier selection: a confident off-center face must beat a
+    centered low-score candidate admitted by the 0.02 floor — geometry
+    breaks ties only WITHIN a confidence tier."""
+    from deep_insight_face_tpu.pipeline import _select_best_box
+
+    # centered 100² clutter box (geometry winner) vs 120² face 100 px
+    # off-center at score 0.9
+    clutter = [158.0, 158.0, 258.0, 258.0]
+    face = [258.0, 148.0, 378.0, 268.0]
+    boxes = jnp.asarray([clutter, face], jnp.float32)
+    box, score, found = _select_best_box(
+        boxes, jnp.asarray([0.03, 0.9]), jnp.asarray([True, True]),
+        (416, 416), 0.1,
+    )
+    assert bool(found) and float(score) == pytest.approx(0.9)
+    np.testing.assert_allclose(np.asarray(box), face)
+
+    # with NO confident candidate, geometry picks the centered one and
+    # found stays False
+    box, score, found = _select_best_box(
+        boxes, jnp.asarray([0.03, 0.05]), jnp.asarray([True, True]),
+        (416, 416), 0.1,
+    )
+    assert not bool(found)
+    np.testing.assert_allclose(np.asarray(box), clutter)
