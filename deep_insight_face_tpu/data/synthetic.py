@@ -455,6 +455,73 @@ def identity_directory(
     return dirs
 
 
+def _render_detection_scene(rng, size, max_faces, min_face, max_face):
+    """One cluttered scene; draws from ``rng`` in a fixed order."""
+    boxes = np.zeros((max_faces, 4), np.float32)
+    valid = np.zeros((max_faces,), bool)
+    bg = np.clip(
+        rng.uniform(0.05, 0.95, 3)[None, None]
+        + rng.normal(0, 0.05, (size, size, 1)),
+        0, 1,
+    )
+    # distractor rectangles / ellipses
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    for _ in range(int(rng.integers(2, 6))):
+        cx, cy = rng.uniform(0, size, 2)
+        rx, ry = rng.uniform(0.03, 0.2, 2) * size
+        if rng.random() < 0.5:
+            m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
+        else:
+            m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+        bg[m] = np.clip(rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1)
+
+    canvas = bg
+    k = int(rng.integers(1, max_faces + 1))
+    placed = []
+    for f in range(k):
+        radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
+        # rejection-sample a center that does not overlap placed faces
+        for _ in range(20):
+            cx = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+            cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+            if all(
+                np.hypot(cx - q[0], cy - q[1]) > 0.8 * (radius + q[2])
+                for q in placed
+            ):
+                break
+        else:
+            continue
+        placed.append((cx, cy, radius))
+        p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
+        face, lm, alpha = render_face(
+            p, size, rng,
+            rotation=float(rng.uniform(-0.25, 0.25)),
+            scale=radius / 2,
+            center=(cx, cy),
+            background=canvas,
+            return_alpha=True,
+        )
+        canvas = canvas * (1 - alpha[..., None]) + (
+            face.astype(np.float64) / 255.0
+        ) * alpha[..., None]
+        x1, y1 = lm.min(0)
+        x2, y2 = lm.max(0)
+        mx, my = 0.08 * (x2 - x1), 0.08 * (y2 - y1)
+        boxes[f] = [
+            max(x1 - mx, 0), max(y1 - my, 0),
+            min(x2 + mx, size), min(y2 + my, size),
+        ]
+        valid[f] = True
+    img = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
+    return img, boxes, valid
+
+
+def _detection_scene_seeded(args):
+    i, seed, size, max_faces, min_face, max_face = args
+    rng = np.random.default_rng(np.random.SeedSequence([seed + 313, i]))
+    return _render_detection_scene(rng, size, max_faces, min_face, max_face)
+
+
 def detection_scenes(
     n: int,
     size: int = 416,
@@ -462,6 +529,7 @@ def detection_scenes(
     seed: int = 0,
     min_face: float = 0.15,
     max_face: float = 0.45,
+    workers: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cluttered scenes with 1..max_faces composited faces.
 
@@ -470,67 +538,79 @@ def detection_scenes(
     bounding box expanded 8% (the trainable definition of "face").
     Background contains distractor shapes so the detector must learn
     face structure, not brightness.
+
+    ``workers > 0`` renders scenes on a process pool with DETERMINISTIC
+    per-scene seeding (values depend only on (seed, scene index), not on
+    the worker count) — the single-threaded render is the wall-clock
+    bottleneck of every training script. The ``workers=0`` sequential
+    path keeps the original shared-stream draws bit-identical to earlier
+    releases; the two streams differ, so committed eval artifacts pin
+    one or the other.
     """
-    rng = np.random.default_rng(seed + 313)
     imgs = np.empty((n, size, size, 3), np.uint8)
     boxes = np.zeros((n, max_faces, 4), np.float32)
     valid = np.zeros((n, max_faces), bool)
-    for i in range(n):
-        bg = np.clip(
-            rng.uniform(0.05, 0.95, 3)[None, None]
-            + rng.normal(0, 0.05, (size, size, 1)),
-            0, 1,
-        )
-        # distractor rectangles / ellipses
-        yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
-        for _ in range(int(rng.integers(2, 6))):
-            cx, cy = rng.uniform(0, size, 2)
-            rx, ry = rng.uniform(0.03, 0.2, 2) * size
-            if rng.random() < 0.5:
-                m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
-            else:
-                m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
-            bg[m] = np.clip(rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1)
+    if workers > 0:
+        from concurrent.futures import ProcessPoolExecutor
 
-        canvas = bg
-        k = int(rng.integers(1, max_faces + 1))
-        placed = []
-        for f in range(k):
-            radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
-            # rejection-sample a center that does not overlap placed faces
-            for _ in range(20):
-                cx = float(rng.uniform(radius * 0.7, size - radius * 0.7))
-                cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
-                if all(
-                    np.hypot(cx - q[0], cy - q[1]) > 0.8 * (radius + q[2])
-                    for q in placed
-                ):
-                    break
-            else:
-                continue
-            placed.append((cx, cy, radius))
-            p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
-            face, lm, alpha = render_face(
-                p, size, rng,
-                rotation=float(rng.uniform(-0.25, 0.25)),
-                scale=radius / 2,
-                center=(cx, cy),
-                background=canvas,
-                return_alpha=True,
-            )
-            canvas = canvas * (1 - alpha[..., None]) + (
-                face.astype(np.float64) / 255.0
-            ) * alpha[..., None]
-            x1, y1 = lm.min(0)
-            x2, y2 = lm.max(0)
-            mx, my = 0.08 * (x2 - x1), 0.08 * (y2 - y1)
-            boxes[i, f] = [
-                max(x1 - mx, 0), max(y1 - my, 0),
-                min(x2 + mx, size), min(y2 + my, size),
-            ]
-            valid[i, f] = True
-        imgs[i] = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
+        work = [(i, seed, size, max_faces, min_face, max_face)
+                for i in range(n)]
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for i, (img, b, v) in enumerate(
+                ex.map(_detection_scene_seeded, work,
+                       chunksize=max(1, n // (workers * 8)))
+            ):
+                imgs[i], boxes[i], valid[i] = img, b, v
+        return imgs, boxes, valid
+    rng = np.random.default_rng(seed + 313)
+    for i in range(n):
+        imgs[i], boxes[i], valid[i] = _render_detection_scene(
+            rng, size, max_faces, min_face, max_face
+        )
     return imgs, boxes, valid
+
+
+def _render_identity_scene(rng, p, size, min_face, max_face):
+    """One cluttered scene of identity ``p``; draws from ``rng`` in a
+    fixed order."""
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    bg = np.clip(
+        rng.uniform(0.05, 0.95, 3)[None, None]
+        + rng.normal(0, 0.05, (size, size, 1)),
+        0, 1,
+    )
+    for _ in range(int(rng.integers(2, 6))):
+        cx, cy = rng.uniform(0, size, 2)
+        rx, ry = rng.uniform(0.03, 0.2, 2) * size
+        if rng.random() < 0.5:
+            m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
+        else:
+            m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+        bg[m] = np.clip(
+            rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1
+        )
+    radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
+    cx = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+    cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
+    face, lm, alpha = render_face(
+        p, size, rng,
+        rotation=float(rng.uniform(-0.25, 0.25)),
+        scale=radius / 2,
+        center=(cx, cy),
+        background=bg,
+        return_alpha=True,
+    )
+    canvas = bg * (1 - alpha[..., None]) + (
+        face.astype(np.float64) / 255.0
+    ) * alpha[..., None]
+    return (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
+
+
+def _identity_scene_seeded(args):
+    k, seed, cid, id_offset, size, min_face, max_face = args
+    rng = np.random.default_rng(np.random.SeedSequence([seed + 727, k]))
+    p = FaceParams.from_seed(id_offset + cid)
+    return _render_identity_scene(rng, p, size, min_face, max_face)
 
 
 def identity_scenes(
@@ -541,6 +621,7 @@ def identity_scenes(
     id_offset: int = 0,
     min_face: float = 0.25,
     max_face: float = 0.45,
+    workers: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full scenes each containing ONE face of a KNOWN identity — the
     end-to-end quality probe: raw frame in, identity out, so a
@@ -551,47 +632,35 @@ def identity_scenes(
     distractor-cluttered backgrounds as :func:`detection_scenes`; face
     pose/scale/position vary per render while identity appearance is the
     pure function of (id_offset + label).
+
+    ``workers > 0`` renders on a process pool with deterministic
+    per-scene seeding (values independent of the worker count); the
+    sequential ``workers=0`` path keeps the original shared-stream draws
+    bit-identical to earlier releases. The two streams differ —
+    committed eval artifacts (e2e_quality.json, weight sidecars) pin the
+    stream they were measured with.
     """
-    rng = np.random.default_rng(seed + 727)
     n = n_ids * per_id
     imgs = np.empty((n, size, size, 3), np.uint8)
-    labels = np.empty((n,), np.int32)
-    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    labels = np.repeat(np.arange(n_ids, dtype=np.int32), per_id)
+    if workers > 0:
+        from concurrent.futures import ProcessPoolExecutor
+
+        work = [(k, seed, int(labels[k]), id_offset, size, min_face,
+                 max_face) for k in range(n)]
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            for k, img in enumerate(
+                ex.map(_identity_scene_seeded, work,
+                       chunksize=max(1, n // (workers * 8)))
+            ):
+                imgs[k] = img
+        return imgs, labels
+    rng = np.random.default_rng(seed + 727)
     k = 0
     for cid in range(n_ids):
         p = FaceParams.from_seed(id_offset + cid)
         for _ in range(per_id):
-            bg = np.clip(
-                rng.uniform(0.05, 0.95, 3)[None, None]
-                + rng.normal(0, 0.05, (size, size, 1)),
-                0, 1,
-            )
-            for _ in range(int(rng.integers(2, 6))):
-                cx, cy = rng.uniform(0, size, 2)
-                rx, ry = rng.uniform(0.03, 0.2, 2) * size
-                if rng.random() < 0.5:
-                    m = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) < 1.0
-                else:
-                    m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
-                bg[m] = np.clip(
-                    rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1
-                )
-            radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
-            cx = float(rng.uniform(radius * 0.7, size - radius * 0.7))
-            cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
-            face, lm, alpha = render_face(
-                p, size, rng,
-                rotation=float(rng.uniform(-0.25, 0.25)),
-                scale=radius / 2,
-                center=(cx, cy),
-                background=bg,
-                return_alpha=True,
-            )
-            canvas = bg * (1 - alpha[..., None]) + (
-                face.astype(np.float64) / 255.0
-            ) * alpha[..., None]
-            imgs[k] = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
-            labels[k] = cid
+            imgs[k] = _render_identity_scene(rng, p, size, min_face, max_face)
             k += 1
     return imgs, labels
 

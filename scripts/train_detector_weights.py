@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--variant", default="tiny_s2d")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="parallel scene-render processes (0 = the "
+                         "legacy sequential stream; see "
+                         "data/synthetic.detection_scenes)")
     ap.add_argument(
         "--output",
         default=os.path.join(
@@ -62,7 +66,7 @@ def main() -> int:
           flush=True)
     imgs, boxes, valid = detection_scenes(
         args.train_n + args.eval_n, size=args.input_size,
-        max_faces=args.max_faces, seed=args.seed,
+        max_faces=args.max_faces, seed=args.seed, workers=args.workers,
     )
     tr = slice(0, args.train_n)
     ev = slice(args.train_n, None)

@@ -103,3 +103,24 @@ def test_detection_scenes_contract():
                 x1, y1, x2, y2 = b
                 assert 0 <= x1 < x2 <= 128 and 0 <= y1 < y2 <= 128
                 assert (x2 - x1) > 8 and (y2 - y1) > 8
+
+
+def test_parallel_scene_rendering_deterministic():
+    """workers>0 renders on a process pool with per-scene seeding:
+    values must depend only on (seed, scene index) — not worker count —
+    and faces must actually be present."""
+    from deep_insight_face_tpu.data.synthetic import (
+        detection_scenes, identity_scenes,
+    )
+
+    a = detection_scenes(4, size=96, seed=3, workers=2)
+    b = detection_scenes(4, size=96, seed=3, workers=3)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert a[2].any()  # valid faces rendered
+
+    ia, la = identity_scenes(2, 2, size=96, seed=3, workers=2)
+    ib, lb = identity_scenes(2, 2, size=96, seed=3, workers=3)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(la, lb)
+    assert ia.std() > 0
