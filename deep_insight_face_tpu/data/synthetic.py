@@ -455,6 +455,36 @@ def identity_directory(
     return dirs
 
 
+def _pool_map(fn, work, workers):
+    """Map ``fn`` over ``work`` on a spawn-context process pool, or
+    return None when a pool cannot run (interactive ``<stdin>`` main
+    module — spawn re-imports the main module and there is nothing to
+    import; callers then fall back to the SAME per-item seeded values on
+    a sequential schedule). Spawn, not fork: the caller has usually
+    initialized JAX (multithreaded) by render time and a forked child
+    can deadlock on inherited locks."""
+    import multiprocessing
+    import sys
+
+    if multiprocessing.parent_process() is not None:
+        # already inside a worker (e.g. spawn re-executed an unguarded
+        # caller script): never nest pools
+        return None
+    main = sys.modules.get("__main__")
+    main_file = getattr(main, "__file__", None)
+    if main_file is None or not os.path.exists(main_file):
+        return None
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(
+        max_workers=workers,
+        mp_context=multiprocessing.get_context("spawn"),
+    ) as ex:
+        return list(
+            ex.map(fn, work, chunksize=max(1, len(work) // (workers * 8)))
+        )
+
+
 def _render_detection_scene(rng, size, max_faces, min_face, max_face):
     """One cluttered scene; draws from ``rng`` in a fixed order."""
     boxes = np.zeros((max_faces, 4), np.float32)
@@ -551,16 +581,17 @@ def detection_scenes(
     boxes = np.zeros((n, max_faces, 4), np.float32)
     valid = np.zeros((n, max_faces), bool)
     if workers > 0:
-        from concurrent.futures import ProcessPoolExecutor
-
         work = [(i, seed, size, max_faces, min_face, max_face)
                 for i in range(n)]
-        with ProcessPoolExecutor(max_workers=workers) as ex:
-            for i, (img, b, v) in enumerate(
-                ex.map(_detection_scene_seeded, work,
-                       chunksize=max(1, n // (workers * 8)))
-            ):
+        done = _pool_map(_detection_scene_seeded, work, workers)
+        if done is not None:
+            for i, (img, b, v) in enumerate(done):
                 imgs[i], boxes[i], valid[i] = img, b, v
+            return imgs, boxes, valid
+        # pool unavailable (interactive main module) → same values,
+        # sequential schedule
+        for i, args in enumerate(work):
+            imgs[i], boxes[i], valid[i] = _detection_scene_seeded(args)
         return imgs, boxes, valid
     rng = np.random.default_rng(seed + 313)
     for i in range(n):
@@ -644,16 +675,15 @@ def identity_scenes(
     imgs = np.empty((n, size, size, 3), np.uint8)
     labels = np.repeat(np.arange(n_ids, dtype=np.int32), per_id)
     if workers > 0:
-        from concurrent.futures import ProcessPoolExecutor
-
         work = [(k, seed, int(labels[k]), id_offset, size, min_face,
                  max_face) for k in range(n)]
-        with ProcessPoolExecutor(max_workers=workers) as ex:
-            for k, img in enumerate(
-                ex.map(_identity_scene_seeded, work,
-                       chunksize=max(1, n // (workers * 8)))
-            ):
+        done = _pool_map(_identity_scene_seeded, work, workers)
+        if done is not None:
+            for k, img in enumerate(done):
                 imgs[k] = img
+        else:  # pool unavailable → same values, sequential schedule
+            for k, args in enumerate(work):
+                imgs[k] = _identity_scene_seeded(args)
         return imgs, labels
     rng = np.random.default_rng(seed + 727)
     k = 0
