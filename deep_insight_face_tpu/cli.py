@@ -333,7 +333,7 @@ def build_parser() -> argparse.ArgumentParser:
     td.add_argument("--annotations", required=True,
                     help="CSV: path,x1,y1,x2,y2 (one row per box)")
     td.add_argument("--variant", default="tiny_s2d",
-                    choices=["full", "tiny", "tiny_s2d"])
+                    choices=["full", "tiny", "tiny_s2d", "tiny_mx"])
     td.add_argument("--input-size", type=int, default=416)
     td.add_argument("--batch-size", type=int, default=16)
     td.add_argument("--steps", type=int, default=1000)

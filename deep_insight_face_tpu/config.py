@@ -61,7 +61,7 @@ class DetectorConfig:
     # "full" (Darknet-53, the reference's default architecture) and
     # "tiny" remain available but ship no trained weights — select them
     # only with weights of your own (cli convert-weights / train-detector).
-    variant: str = "tiny_s2d"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem)
+    variant: str = "tiny_s2d"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem) | tiny_mx (MXU-shaped, models/yolov3.YoloV3TinyMX)
     input_size: int = 416
     max_boxes: int = 20
     # Multi-face ENUMERATION threshold (build_multiface_pipeline,

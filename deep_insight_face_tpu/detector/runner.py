@@ -98,12 +98,12 @@ class FaceDetector:
         else:
             from deep_insight_face_tpu.models.yolov3 import (
                 TINY_ANCHOR_MASKS,
-                YoloV3Tiny,
+                TINY_FAMILY,
             )
 
             self._masks = (
                 TINY_ANCHOR_MASKS
-                if isinstance(model, YoloV3Tiny)
+                if isinstance(model, TINY_FAMILY)
                 else self.cfg.anchor_masks
             )
         self.model = model

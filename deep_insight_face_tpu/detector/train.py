@@ -3,7 +3,7 @@ convert pre-trained Darknet weights, scripts/yolo_convert_tf.py).
 
 Jitted train step over (images, padded gt boxes + valid mask) batches
 with the YOLOv3 loss from detector/loss.py, for any detector variant
-(full / tiny / tiny_s2d). Batch images are [0, 255] floats; the step
+(full / tiny / tiny_s2d / tiny_mx). Batch images are [0, 255] floats; the step
 normalizes to [0, 1] internally, matching the serving paths.
 """
 

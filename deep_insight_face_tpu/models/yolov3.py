@@ -177,9 +177,88 @@ class YoloV3Tiny(nn.Module):
         return head13.astype(f32), head26.astype(f32)
 
 
+class YoloV3TinyMX(nn.Module):
+    """MXU-shaped tiny face detector (2 scales, strides 32/16).
+
+    Redesign of the tiny topology around the v5e MXU roofline measured
+    in docs/PERF.md: the tiny_s2d conv ceiling bounds the fused pipeline
+    at ≈11.6k faces/s because (a) the high-resolution levels run 16-64
+    channels (the 128×128 systolic array is mostly idle) and (b) a third
+    of the FLOPs sit in one 3×3 512→1024 conv and one 3×3 384→256 head
+    conv. Changes, all MXU-shaping rather than capacity cuts:
+
+    - pixel-unshuffle(4) stem: the 416² image enters as 104²×48, so the
+      FIRST conv already contracts K=432 — there are no low-fill
+      208²/416² levels at all.
+    - one 3×3 conv per resolution level (104/52/26), channel-doubling to
+      the stride-16 route at 256 — same route contract as YoloV3Tiny.
+    - the deep (stride-32) trunk spends its depth in 1×1-256 → 3×3-512
+      bottleneck pairs instead of a single 512→1024 conv (same
+      receptive-field growth per pair, 3.6× fewer FLOPs).
+    - the stride-16 head contracts its 384-channel concat through a 1×1
+      before the 3×3 (464 MFLOP vs 1.2 GFLOP).
+
+    ≈3.3 GFLOP/img @416 vs tiny_s2d's ≈5.5 with equal or better MXU
+    fill per layer; head/decode contract identical to YoloV3Tiny
+    (TINY_ANCHOR_MASKS). Not weight-compatible with any Darknet file —
+    train with cli train-detector / scripts/train_detector_weights.py.
+    """
+
+    num_classes: int = 1
+    anchors_per_scale: int = 3
+    width: int = 64  # channels after the stem conv; doubles per level
+    deep_blocks: int = 2  # 1×1→3×3 bottleneck pairs at stride 32
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        out_ch = self.anchors_per_scale * (5 + self.num_classes)
+        x = x.astype(self.dtype)
+        n, h, w, c0 = x.shape
+        # pixel-unshuffle(4): stride-4 space-to-depth, 3 → 48 channels
+        x = x.reshape(n, h // 4, 4, w // 4, 4, c0)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c0)
+        c = self.width
+        route = None
+        for i in range(3):  # levels at strides 4, 8, 16
+            x = _DarkConv(c, 3, name=f"level{i}", **kw)(x, train)
+            if i == 2:
+                route = x  # stride-16 route (width×4 = 256 channels)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            c *= 2
+        x = _DarkConv(c, 3, name="deep_in", **kw)(x, train)  # stride 32
+        for b in range(self.deep_blocks):
+            x = _DarkConv(c // 2, 1, name=f"deep{b}_sq", **kw)(x, train)
+            x = _DarkConv(c, 3, name=f"deep{b}_ex", **kw)(x, train)
+        x = _DarkConv(c // 2, 1, name="trunk_out", **kw)(x, train)
+
+        y13 = _DarkConv(c, 3, name="head13_pre", **kw)(x, train)
+        head13 = _DarkConv(out_ch, 1, use_bn=False, act=False,
+                           name="head13", **kw)(y13, train)
+
+        u = _DarkConv(c // 4, 1, name="up_conv", **kw)(x, train)
+        u = jax.image.resize(
+            u, (u.shape[0], u.shape[1] * 2, u.shape[2] * 2, u.shape[3]),
+            method="nearest",
+        )
+        y26 = jnp.concatenate([u, route], axis=-1)
+        y26 = _DarkConv(c // 4, 1, name="head26_sq", **kw)(y26, train)
+        y26 = _DarkConv(c // 2, 3, name="head26_pre", **kw)(y26, train)
+        head26 = _DarkConv(out_ch, 1, use_bn=False, act=False,
+                           name="head26", **kw)(y26, train)
+        f32 = jnp.float32
+        return head13.astype(f32), head26.astype(f32)
+
+
 #: anchor masks for the 2-scale tiny model (coarse scale gets the large
 #: anchors)
 TINY_ANCHOR_MASKS = ((6, 7, 8), (3, 4, 5))
+
+#: the 2-head (strides 32/16) detector classes — they share the
+#: TINY_ANCHOR_MASKS decode contract
+TINY_FAMILY = (YoloV3Tiny, YoloV3TinyMX)
 
 
 class YoloV3(nn.Module):

@@ -25,7 +25,13 @@ from deep_insight_face_tpu.detector.decode import (
     decode_detections,
 )
 from deep_insight_face_tpu.models.embedding import EmbeddingModel
-from deep_insight_face_tpu.models.yolov3 import TINY_ANCHOR_MASKS, YoloV3, YoloV3Tiny
+from deep_insight_face_tpu.models.yolov3 import (
+    TINY_ANCHOR_MASKS,
+    TINY_FAMILY,
+    YoloV3,
+    YoloV3Tiny,
+    YoloV3TinyMX,
+)
 from deep_insight_face_tpu.ops.align import (
     ARCFACE_TEMPLATE_112,
     crop_resize_boxes,
@@ -46,6 +52,8 @@ def make_detector_model(det_cfg) -> Tuple[object, Tuple]:
             YoloV3Tiny(num_classes=det_cfg.num_classes, space_to_depth=True),
             TINY_ANCHOR_MASKS,
         )
+    if det_cfg.variant == "tiny_mx":
+        return YoloV3TinyMX(num_classes=det_cfg.num_classes), TINY_ANCHOR_MASKS
     return YoloV3(num_classes=det_cfg.num_classes), det_cfg.anchor_masks
 
 
@@ -139,7 +147,7 @@ def build_pipeline(
     else:
         anchor_masks = (
             TINY_ANCHOR_MASKS
-            if isinstance(detector_model, YoloV3Tiny)
+            if isinstance(detector_model, TINY_FAMILY)
             else det_cfg.anchor_masks
         )
     if align == "landmark" and landmark_model is None:
@@ -325,7 +333,7 @@ def build_multiface_pipeline(
     else:
         anchor_masks = (
             TINY_ANCHOR_MASKS
-            if isinstance(detector_model, YoloV3Tiny)
+            if isinstance(detector_model, TINY_FAMILY)
             else det_cfg.anchor_masks
         )
     anchors = jnp.asarray(np.array(det_cfg.anchors, np.float32))
