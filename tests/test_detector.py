@@ -240,3 +240,27 @@ def test_nms_batch_matches_per_image(rng):
         np.testing.assert_array_equal(np.asarray(bv[i]), np.asarray(sv))
         np.testing.assert_allclose(np.asarray(bb[i]), np.asarray(sb), atol=1e-6)
         np.testing.assert_allclose(np.asarray(bs[i]), np.asarray(ss), atol=1e-6)
+
+
+@pytest.mark.parametrize("variant,n_heads", [("tiny_s2d", 2), ("tiny_mx", 2)])
+def test_tiny_variants_end_to_end(rng, variant, n_heads):
+    # every registered tiny-family variant: factory → shapes → serving path
+    from deep_insight_face_tpu.models.yolov3 import TINY_ANCHOR_MASKS
+    from deep_insight_face_tpu.pipeline import make_detector_model
+
+    cfg = DetectorConfig(variant=variant, input_size=128, score_threshold=0.0)
+    model, masks = make_detector_model(cfg)
+    assert masks == TINY_ANCHOR_MASKS
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.key(0), x)
+    heads = model.apply(variables, x)
+    assert len(heads) == n_heads
+    assert heads[0].shape == (1, 4, 4, 18)  # stride 32
+    assert heads[1].shape == (1, 8, 8, 18)  # stride 16
+
+    det = FaceDetector(variables, cfg, model)
+    img = rng.integers(0, 255, (96, 120, 3), dtype=np.uint8)
+    crops, bbs = det(img, detect_multiple_faces=False)
+    assert len(crops) <= 1
+    for crop, bb in zip(crops, bbs):
+        assert crop.ndim == 3 and bb.shape == (4,)
