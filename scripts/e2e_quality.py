@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="resnet50v2")
     ap.add_argument("--detector-input", type=int, default=416)
+    ap.add_argument("--detector-variant", default="tiny_s2d",
+                    help="detector architecture (full|tiny|tiny_s2d|tiny_mx)")
     ap.add_argument("--decision-threshold", type=float, default=None,
                     help="override DetectorConfig.decision_threshold "
                          "(the best-face found gate)")
@@ -62,7 +64,8 @@ def main() -> int:
     import dataclasses
 
     cfg = default_config()
-    det_kw = dict(variant="tiny_s2d", input_size=args.detector_input)
+    det_kw = dict(variant=args.detector_variant,
+                  input_size=args.detector_input)
     if args.decision_threshold is not None:
         det_kw["decision_threshold"] = args.decision_threshold
     cfg = cfg.replace(
