@@ -197,8 +197,52 @@ def measure(cfg, batch, frame_size, measure_single=True):
     return result
 
 
+def _wait_for_device(budget_s: float = 900.0) -> None:
+    """Fail fast (bounded) if the axon tunnel is wedged.
+
+    The tunnel occasionally wedges: every TPU call — including backend
+    init in a fresh process — hangs forever (see CLAUDE.md). Probe
+    liveness in a subprocess with a hard per-attempt timeout; a healthy
+    backend answers in seconds (compile cache) and costs one probe. A
+    wedged one gets ``budget_s`` to recover, then this bench exits 2
+    with a clear message instead of hanging the driver indefinitely.
+    """
+    import subprocess
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((128, 128));"
+                 "print('ALIVE', float((x @ x).sum()))"],
+                capture_output=True, text=True, timeout=240,
+            )
+            if "ALIVE" in r.stdout:
+                if attempt > 1:
+                    print(f"bench: device came back after {attempt} probes",
+                          file=sys.stderr)
+                return
+            print(f"bench: probe {attempt} rc={r.returncode} "
+                  f"err={r.stderr[-200:]!r}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: probe {attempt} timed out (tunnel wedged?)",
+                  file=sys.stderr)
+        if time.time() > deadline:
+            print(f"bench: device unreachable after {attempt} probes / "
+                  f"{budget_s:.0f}s — aborting instead of hanging",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        time.sleep(30)
+
+
 def main() -> None:
     import dataclasses
+
+    _wait_for_device()
 
     import jax
 
