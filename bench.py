@@ -253,16 +253,18 @@ def main() -> None:
     # 66 GFLOP/img caps throughput below the 5k target on v5e physics
     # alone; both variants ship, this benchmarks the deployment config
     det_size = int(os.environ.get("BENCH_DETECTOR_INPUT", "416"))
+    det_variant = os.environ.get("BENCH_DETECTOR_VARIANT", "tiny_s2d")
     backbone = os.environ.get("BENCH_BACKBONE", cfg.model.backbone)
     norm = os.environ.get("BENCH_NORM", "batch")
     overridden = any(
         k in os.environ
-        for k in ("BENCH_DETECTOR_INPUT", "BENCH_BACKBONE", "BENCH_NORM")
+        for k in ("BENCH_DETECTOR_INPUT", "BENCH_DETECTOR_VARIANT",
+                  "BENCH_BACKBONE", "BENCH_NORM")
     )
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, backbone=backbone, norm=norm),
         detector=dataclasses.replace(
-            cfg.detector, variant="tiny_s2d", input_size=det_size))
+            cfg.detector, variant=det_variant, input_size=det_size))
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     platform = jax.devices()[0].platform
 

@@ -401,6 +401,12 @@ def verification_pairs(
         by_id.setdefault(int(l), []).append(i)
     ids = sorted(cid for cid, idxs in by_id.items() if len(idxs) >= 2)
     all_ids = sorted(by_id)
+    if (impostors_per_id > 0 or impostors_total > 0) and len(all_ids) < 2:
+        raise ValueError(
+            f"verification_pairs: impostor pairs need >= 2 identities, "
+            f"got {len(all_ids)} (labels may be from a degenerate "
+            f"smoke-run split — raise eval_ids or drop impostor counts)"
+        )
     e1: list = []
     e2: list = []
     issame: list = []

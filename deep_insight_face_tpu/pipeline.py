@@ -98,7 +98,14 @@ def _select_best_box(boxes, scores, valid, image_hw, decision_threshold):
     # alone would let it: a centered 100² box at score 0.03 scores
     # higher than a 120² face 100 px off-center at 0.9)
     confident = scores >= decision_threshold
-    tier = jnp.where(confident, jnp.float32(1e9), 0.0)
+    # The tier bump must clear the geometry range (|geom| <= max(h*w,
+    # (h²+w²)/2)) but stay small enough that float32 addition keeps
+    # sub-pixel tie-break precision: a constant like 1e9 would quantize
+    # geom to ulp(1e9)=64, erasing area differences under 64 px²
+    # between two confident candidates. 4·(h²+w²) separates the tiers
+    # with ulp ≈ 0.125 at 416².
+    bump = jnp.float32(4.0 * (float(h) ** 2 + float(w) ** 2))
+    tier = jnp.where(confident, bump, 0.0)
     quality = jnp.where(valid, geom + tier, -jnp.inf)
     i = jnp.argmax(quality)
     has_candidate = valid[i]

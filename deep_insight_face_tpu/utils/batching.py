@@ -27,6 +27,7 @@ def batched_apply(
     """
     n = len(arr)
     outs = None
+    was_tuple = False
     for s in range(0, n, batch):
         chunk = np.asarray(arr[s:s + batch])
         k = len(chunk)
@@ -35,7 +36,8 @@ def batched_apply(
                 [chunk, np.repeat(chunk[-1:], batch - k, axis=0)]
             )
         res = fn(chunk)
-        tup = res if isinstance(res, tuple) else (res,)
+        was_tuple = isinstance(res, tuple)
+        tup = res if was_tuple else (res,)
         tup = tuple(np.asarray(r)[:k] for r in tup)
         if outs is None:
             outs = [[] for _ in tup]
@@ -44,4 +46,6 @@ def batched_apply(
     if outs is None:
         raise ValueError("batched_apply: empty input")
     cat = tuple(np.concatenate(o) for o in outs)
-    return cat if len(cat) > 1 else cat[0]
+    # mirror fn's own return shape: a 1-tuple stays a 1-tuple so
+    # `(e,) = batched_apply(...)` destructuring keeps working
+    return cat if was_tuple else cat[0]

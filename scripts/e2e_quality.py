@@ -159,7 +159,8 @@ def main() -> int:
             "tar_at_far_1e3": float(report_det.val),
         },
         "pipeline": "detect->nms->landmark68->similarity_align->embed "
-                    f"(tiny_s2d + LandmarkNet + {cfg.model.backbone})",
+                    f"({cfg.detector.variant} + LandmarkNet + "
+                    f"{cfg.model.backbone})",
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out), flush=True)

@@ -220,10 +220,11 @@ def main() -> int:
         return model.apply(v, preprocess(x.astype(jnp.float32), "tf"),
                            train=False)
 
-    embs = []
-    for s in range(0, len(ev_imgs), 128):
-        embs.append(np.asarray(embed(variables, jnp.asarray(ev_imgs[s:s+128]))))
-    embs = np.concatenate(embs)
+    from deep_insight_face_tpu.utils.batching import batched_apply
+
+    # pad-to-batch so the ragged tail doesn't force a second jit compile
+    embs = batched_apply(lambda x: embed(variables, jnp.asarray(x)),
+                         np.asarray(ev_imgs), 128)
 
     # balanced same/diff pairs over held-out ids (shared builder — caps
     # genuine pairs per id, shuffles for two-class k-folds)

@@ -297,3 +297,27 @@ def test_confident_candidate_outranks_centered_clutter():
     )
     assert not bool(found)
     np.testing.assert_allclose(np.asarray(box), clutter)
+
+
+def test_tie_break_keeps_float32_precision_between_confident_boxes():
+    """Regression: the confident-tier bump must not quantize the
+    geometry tie-break. With a 1e9 bump, float32 addition rounds geom
+    to multiples of 64, so two confident candidates whose
+    area/centering scores differ by < 64 px² collapsed to the same
+    quality and argmax fell back to index order."""
+    from deep_insight_face_tpu.pipeline import _select_best_box
+
+    # both confident; box B is ~8 px² larger at near-identical
+    # centering — a sub-64 px² difference the old 1e9 bump erased
+    a = [100.0, 100.0, 200.0, 200.0]     # area 10000, centered after shift
+    b = [99.92, 100.0, 200.0, 200.0]     # area 10008, center off by .04 px
+    # shift both so box A sits exactly on the 416² frame center
+    boxes = jnp.asarray([a, b], jnp.float32) + jnp.asarray(
+        [58.0, 58.0, 58.0, 58.0], jnp.float32
+    )
+    box, score, found = _select_best_box(
+        boxes, jnp.asarray([0.9, 0.9]), jnp.asarray([True, True]),
+        (416, 416), 0.1,
+    )
+    assert bool(found)
+    np.testing.assert_allclose(np.asarray(box), np.asarray(boxes[1]))

@@ -172,3 +172,32 @@ def test_confusion_matrix_formatting(rng):
     dist = V.pair_distances(e1, e2, 0)
     s = V.format_confusion_matrix(dist, issame, 1.0)
     assert "TOTAL TP=" in s and "threshold=1.0000" in s
+
+
+def test_verification_pairs_shapes_and_balance(rng):
+    labels = np.repeat(np.arange(5), 4)  # 5 ids × 4 samples
+    e1, e2, issame = V.verification_pairs(
+        labels, np.random.default_rng(0), same_per_id=3, impostors_per_id=3
+    )
+    assert len(e1) == len(e2) == len(issame) == 5 * 6
+    assert issame.sum() == 15
+    for a, b, s in zip(e1, e2, issame):
+        assert (labels[a] == labels[b]) == bool(s)
+
+
+def test_verification_pairs_rejects_single_identity_impostors():
+    # regression: one identity + impostors_per_id hit rng.choice([]) deep
+    # inside numpy; <2 identities + impostors_total hit choice(n=2) — both
+    # must fail with a clear message instead
+    one_id = np.zeros(4, int)
+    with pytest.raises(ValueError, match="identities"):
+        V.verification_pairs(one_id, np.random.default_rng(0),
+                             same_per_id=2, impostors_per_id=2)
+    with pytest.raises(ValueError, match="identities"):
+        V.verification_pairs(one_id, np.random.default_rng(0),
+                             same_per_id=2, impostors_total=2)
+    # genuine-only pairs over one identity remain legal
+    e1, e2, issame = V.verification_pairs(
+        one_id, np.random.default_rng(0), same_per_id=2
+    )
+    assert issame.all() and len(e1) == 2
