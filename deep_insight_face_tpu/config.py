@@ -124,6 +124,14 @@ class TrainConfig:
     weight_decay: float = 5e-4
     margin: float = 0.4  # triplet margin alpha (reference: networks/triplet.py:16)
     contrastive_margin: float = 1.0  # (reference: networks/siamese.py:32-39)
+    # batch_hard_auto: new_alpha = mean(dists) * this each step — a
+    # RATIO, not a margin (reference: common/losses.py:93,112-113
+    # alpha_factor 0.1); was previously conflated with `margin`
+    auto_alpha_factor: float = 0.1
+    # semi_hard mode margin (reference: tfa.losses.TripletSemiHardLoss
+    # default 1.0 via networks/triplet.py:208-211); separate from the
+    # naive-triplet `margin` so sweeps touch the mode they name
+    semi_hard_margin: float = 1.0
     arcface_margin: float = 0.5
     arcface_scale: float = 64.0
     # Flash (Pallas) margin-softmax: streams the classifier in VMEM tiles

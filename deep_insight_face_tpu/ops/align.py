@@ -288,7 +288,12 @@ def warp_affine_mxu(
     yg = jnp.arange(oh, dtype=jnp.float32)
     vg = jnp.arange(h, dtype=jnp.float32)
     ug = jnp.arange(w, dtype=jnp.float32)
-    e_safe = jnp.where(jnp.abs(e) < 1e-6, 1e-6, e)
+    # sign-preserving clamp: replacing a small NEGATIVE e with +1e-6
+    # would flip the vertical map's sign, breaking the documented
+    # "degenerate but continuous" behavior on that side of zero
+    e_safe = jnp.where(
+        jnp.abs(e) < 1e-6, jnp.where(e < 0, -1e-6, 1e-6), e
+    )
 
     # pass 1 (horizontal, over source rows v): u = A1·x + B1·v + C1
     A1 = a - b * d / e_safe

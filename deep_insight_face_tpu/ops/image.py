@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -161,27 +162,30 @@ def random_crop_resize(
     images: jnp.ndarray,
     min_scale: float = 0.8,
 ) -> jnp.ndarray:
-    """Random scale crop (same output size via resize-back); static shapes."""
+    """Random scale crop (same output size via resize-back); static shapes.
+
+    PER-IMAGE crop geometry (the reference's iterators crop each image
+    independently), expressed through the MXU separable interpolation
+    warp (ops/align.scale_translate_warp) — the previous traced-index
+    gather formulation was both the slow path CLAUDE.md warns about and
+    batch-uniform (one geometry for all n images per call).
+    """
+    from deep_insight_face_tpu.ops.align import scale_translate_warp
+
     n, h, w, c = images.shape
     k1, k2, k3 = jax.random.split(key, 3)
-    scale = jax.random.uniform(k1, (), minval=min_scale, maxval=1.0)
-    ch = jnp.floor(h * scale).astype(jnp.int32)
-    cw = jnp.floor(w * scale).astype(jnp.int32)
-    oy = jax.random.randint(k2, (), 0, jnp.maximum(h - ch, 1))
-    ox = jax.random.randint(k3, (), 0, jnp.maximum(w - cw, 1))
-    # mask-based crop keeps shapes static: shift then resize the window
-    shifted = jnp.roll(images, shift=(-oy, -ox), axis=(1, 2))
-    # build sampling grid over [0, ch) × [0, cw) scaled back to (h, w)
-    ys = (jnp.arange(h) * (ch / h)).astype(jnp.float32)
-    xs = (jnp.arange(w) * (cw / w)).astype(jnp.float32)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
-    fy = (ys - y0)[None, :, None, None]
-    fx = (xs - x0)[None, None, :, None]
-    g = shifted.astype(jnp.float32)
-    top = g[:, y0][:, :, x0] * (1 - fx) + g[:, y0][:, :, x0 + 1] * fx
-    bot = g[:, y0 + 1][:, :, x0] * (1 - fx) + g[:, y0 + 1][:, :, x0 + 1] * fx
-    return top * (1 - fy) + bot * fy
+    scale = jax.random.uniform(k1, (n,), minval=min_scale, maxval=1.0)
+    ch = scale * h  # crop window in source px (continuous: sampling grid)
+    cw = scale * w
+    oy = jax.random.uniform(k2, (n,)) * (h - ch)
+    ox = jax.random.uniform(k3, (n,)) * (w - cw)
+    # dst(y, x) = src(sy·y + oy, sx·x + ox): sy maps [0, h) onto the
+    # [oy, oy+ch) window, i.e. crop-then-resize-back in one warp
+    scales = jnp.stack([ch / h, cw / w], axis=-1)
+    offsets = jnp.stack([oy, ox], axis=-1)
+    return scale_translate_warp(
+        images.astype(jnp.float32), scales, offsets, (h, w)
+    )
 
 
 def fit_dataset_stats(
@@ -200,8 +204,13 @@ def fit_dataset_stats(
     if zca:
         flat = (x - mean).reshape(x.shape[0], -1)
         sigma = flat.T @ flat / x.shape[0]
-        u, s, _ = jnp.linalg.svd(sigma, full_matrices=False)
-        stats["zca"] = (u * (1.0 / jnp.sqrt(s + zca_epsilon))) @ u.T
+        # SVD on the host: jnp.linalg.svd compiles for >60 s on this
+        # project's TPU toolchain even for tiny operands (CLAUDE.md) and
+        # stats fitting is a one-off host-side step, not a jit hot path
+        u, s, _ = np.linalg.svd(np.asarray(sigma), full_matrices=False)
+        stats["zca"] = jnp.asarray(
+            (u * (1.0 / np.sqrt(s + zca_epsilon))) @ u.T
+        )
     return stats
 
 
@@ -317,7 +326,10 @@ def random_additive_noise(
     scale = jax.random.uniform(k1, (n, 1, 1, 1), maxval=max_scale)
     noise = jax.random.normal(k2, (n, h, w, c))
     per_ch = jax.random.bernoulli(k3, per_channel_prob, (n, 1, 1, 1))
-    shared = jnp.mean(noise, axis=-1, keepdims=True)
+    # shared-channel branch replicates ONE full-strength N(0,1) map —
+    # averaging the c iid per-channel draws would shrink its std to
+    # 1/sqrt(c) (≈42% weaker noise than configured at c=3)
+    shared = noise[..., :1]
     noise = jnp.where(per_ch, noise, shared)
     return jnp.clip(images.astype(jnp.float32) + scale * noise, 0.0, 255.0)
 

@@ -94,15 +94,34 @@ def create_train_state(
     params = dict(variables["params"])
     batch_stats = variables.get("batch_stats", {})
 
-    if t.mode in CLASSIFIER_MODES:
-        params["classifier"] = {
-            "kernel": jax.nn.initializers.glorot_normal()(
-                k_cls, (cfg.model.embedding_size, t.num_classes), jnp.float32
-            )
-        }
-
     tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
+
+    def _heavy_init(k):
+        """Classifier kernel + optimizer state in one traceable fn so the
+        (D, num_classes) kernel and its Adam moments can materialize
+        ALREADY SHARDED over the model axis — initializing them on the
+        default device first and resharding after would peak at the full
+        unsharded footprint (e.g. ~15 GB for 10^7 ids in fp32 kernel +
+        moments), OOMing a single chip for exactly the scale the
+        vocab-parallel classifier exists for."""
+        p = dict(params)
+        if t.mode in CLASSIFIER_MODES:
+            p["classifier"] = {
+                "kernel": jax.nn.initializers.glorot_normal()(
+                    k, (cfg.model.embedding_size, t.num_classes), jnp.float32
+                )
+            }
+        return p, tx.init(p)
+
+    if mesh is not None:
+        rule = _shard_rule(mesh)
+        shapes = jax.eval_shape(_heavy_init, k_cls)
+        out_shardings = jax.tree_util.tree_map_with_path(rule, shapes)
+        params, opt_state = jax.jit(
+            _heavy_init, out_shardings=out_shardings
+        )(k_cls)
+    else:
+        params, opt_state = _heavy_init(k_cls)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -118,9 +137,10 @@ def create_train_state(
     return state
 
 
-def state_shardings(state: TrainState, cfg: Config, mesh) -> TrainState:
-    """Sharding tree: classifier kernel over 'model', everything else
-    replicated."""
+def _shard_rule(mesh):
+    """(path, leaf) -> NamedSharding: anything under a 'classifier' key
+    (kernel AND its optimizer moments) shards over the model axis,
+    everything else replicates."""
     model_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
     rep = NamedSharding(mesh, P())
     cls = NamedSharding(mesh, P(None, model_axis))
@@ -131,7 +151,13 @@ def state_shardings(state: TrainState, cfg: Config, mesh) -> TrainState:
             return cls
         return rep
 
-    return jax.tree_util.tree_map_with_path(shard_of, state)
+    return shard_of
+
+
+def state_shardings(state: TrainState, cfg: Config, mesh) -> TrainState:
+    """Sharding tree: classifier kernel over 'model', everything else
+    replicated."""
+    return jax.tree_util.tree_map_with_path(_shard_rule(mesh), state)
 
 
 def place_state(state: TrainState, cfg: Config, mesh) -> TrainState:
@@ -305,12 +331,15 @@ def make_train_step(cfg: Config, mesh=None, bn_frozen: bool = False):
                 loss = M.batch_hard_euclidean_loss(labels, emb, t.margin)
             elif mode == "batch_hard_auto":
                 loss, new_alpha = M.batch_hard_euclidean_auto_alpha_loss(
-                    labels, emb, state.alpha, alpha_factor=t.margin
+                    labels, emb, state.alpha,
+                    alpha_factor=t.auto_alpha_factor,
                 )
             elif mode == "batch_all":
                 loss = M.batch_all_cosine_loss(labels, emb, t.margin)
             elif mode == "semi_hard":
-                loss = L.semi_hard_triplet_loss(labels, emb, margin=1.0)
+                loss = L.semi_hard_triplet_loss(
+                    labels, emb, margin=t.semi_hard_margin
+                )
             else:
                 raise ValueError(f"unknown training mode {mode!r}")
 

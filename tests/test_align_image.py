@@ -316,3 +316,41 @@ def test_new_aug_ops_jit_and_gate(rng):
     assert g(x).shape == x.shape
     h = jax.jit(lambda k, im: I.random_rotate_crop(k, im))
     assert h(jax.random.key(1), x).shape == x.shape
+
+
+def test_additive_noise_shared_channel_full_strength():
+    """Regression: the non-per-channel branch must replicate ONE
+    full-strength N(0,1) map, not average the per-channel draws (which
+    shrank the applied noise std by 1/sqrt(3))."""
+    import jax
+
+    from deep_insight_face_tpu.ops import image as I
+
+    x = np.full((2, 64, 64, 3), 127.0, np.float32)
+    key = jax.random.key(11)
+    # same key -> same scale and noise tensor; only the branch differs
+    per_ch = np.asarray(
+        I.random_additive_noise(key, x, per_channel_prob=1.0)) - x
+    shared = np.asarray(
+        I.random_additive_noise(key, x, per_channel_prob=0.0)) - x
+    # channels identical in the shared branch
+    np.testing.assert_array_equal(shared[..., 0], shared[..., 1])
+    # and the same std as the per-channel branch (was ~0.577x)
+    assert shared.std() == pytest.approx(per_ch.std(), rel=0.05)
+
+
+def test_random_crop_resize_per_image_geometry():
+    """Each image must get its own crop window (reference iterators crop
+    per image); the old formulation drew one geometry per call."""
+    import jax
+
+    from deep_insight_face_tpu.ops import image as I
+
+    rng_np = np.random.default_rng(5)
+    one = rng_np.uniform(0, 255, (1, 32, 32, 3)).astype(np.float32)
+    batch = np.repeat(one, 4, axis=0)
+    out = np.asarray(I.random_crop_resize(jax.random.key(2), batch,
+                                          min_scale=0.6))
+    assert out.shape == batch.shape
+    diffs = [np.abs(out[i] - out[0]).max() for i in range(1, 4)]
+    assert max(diffs) > 1.0, diffs  # identical inputs, distinct crops

@@ -366,3 +366,62 @@ def test_sharded_gallery_placement(rng):
     gal.identify(_random_embs(rng, 4))
     spec = gal._gallery().sharding.spec
     assert tuple(spec) == ("model", None), spec
+
+
+def test_classifier_adam_moments_are_model_sharded(rng):
+    # the sharded-init path must materialize the optimizer moments (not
+    # just the kernel) split over 'model' — at 10^7 identities the
+    # unsharded mu/nu alone would OOM a chip during init
+    cfg = _tiny_cfg(mode="arcface", model_parallel=4)
+    mesh = create_mesh(cfg.mesh)
+    model = build_embedding_model(cfg.model)
+    state = create_train_state(model, cfg, jax.random.key(0), mesh=mesh)
+    spec = jax.sharding.PartitionSpec(None, "model")
+    found = 0
+    for leaf in jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map_with_path(
+            lambda p, x: (x.sharding.spec
+                          if "classifier" in str(p) and hasattr(x, "sharding")
+                          else None),
+            state.opt_state,
+        )
+    ):
+        assert leaf == spec, leaf
+        found += 1
+    assert found >= 2, "expected classifier mu and nu moments"
+
+
+def test_semi_hard_margin_and_auto_alpha_are_threaded(rng):
+    # regression: semi_hard hardcoded margin=1.0 and batch_hard_auto
+    # received t.margin as alpha_factor — both now have their own fields
+    import dataclasses
+
+    losses = {}
+    batch = _batch(np.random.default_rng(0), _tiny_cfg(mode="semi_hard"))
+    for margin in (0.2, 2.0):
+        cfg = _tiny_cfg(mode="semi_hard")
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, semi_hard_margin=margin)
+        )
+        mesh = create_mesh(cfg.mesh)
+        model = build_embedding_model(cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0), mesh=mesh)
+        step = make_train_step(cfg, mesh)
+        _, metrics = step(state, batch)
+        losses[margin] = float(metrics["loss"])
+    assert losses[2.0] > losses[0.2], losses
+
+    alphas = {}
+    for factor in (0.1, 0.4):
+        cfg = _tiny_cfg(mode="batch_hard_auto")
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, auto_alpha_factor=factor)
+        )
+        mesh = create_mesh(cfg.mesh)
+        model = build_embedding_model(cfg.model)
+        state = create_train_state(model, cfg, jax.random.key(0), mesh=mesh)
+        step = make_train_step(cfg, mesh)
+        new_state, _ = step(state, batch)
+        alphas[factor] = float(new_state.alpha)
+    # new_alpha = mean(dists) * factor: same data, 4x factor -> 4x alpha
+    assert alphas[0.4] == pytest.approx(4.0 * alphas[0.1], rel=1e-4), alphas
