@@ -41,13 +41,17 @@ def pack_pairs_bin(
     for i, b in enumerate(blobs):
         offsets[i + 1] = offsets[i] + len(b)
     blob = np.frombuffer(b"".join(blobs), np.uint8)
-    np.savez(
-        out_path,
-        blob=blob,
-        offsets=offsets,
-        issame=np.asarray(issame, np.bool_),
-        image_size=np.int64(image_size),
-    )
+    # np.savez APPENDS '.npz' when the path lacks it — write through a
+    # file object so the caller's path (conventionally '*.bin') is the
+    # path that actually exists and load_pairs_bin(out_path) round-trips
+    with open(out_path, "wb") as f:
+        np.savez(
+            f,
+            blob=blob,
+            offsets=offsets,
+            issame=np.asarray(issame, np.bool_),
+            image_size=np.int64(image_size),
+        )
     return len(issame), skipped
 
 

@@ -79,7 +79,12 @@ class DetectorSampler:
             for start in range(0, len(order), self.batch_size):
                 idx = order[start : start + self.batch_size]
                 if len(idx) < self.batch_size:  # repeat to keep shapes static
-                    idx = (idx + order)[: self.batch_size]
+                    # tile enough copies for datasets smaller than one
+                    # batch — a single `idx + order` still undersizes
+                    # when len(order) < batch_size, breaking the jitted
+                    # step's static-shape contract
+                    reps = -(-self.batch_size // max(len(order), 1)) + 1
+                    idx = (idx + order * reps)[: self.batch_size]
                 imgs, boxes, valids = zip(
                     *(self._load(*self.items[i]) for i in idx)
                 )

@@ -51,8 +51,18 @@ def build_targets(
     w = jnp.maximum(gt_boxes[..., 2] - gt_boxes[..., 0], 1e-3)
     h = jnp.maximum(gt_boxes[..., 3] - gt_boxes[..., 1], 1e-3)
 
+    # Best-anchor assignment runs over the anchors this variant USES
+    # (the union of its masks), not the full table: the tiny family
+    # masks only a subset of the 9 anchors, and an argmax over all 9
+    # could pick an uncovered anchor — the gt would then be assigned to
+    # no scale and actively trained as background (small faces on
+    # external data; the synthetic world's min face size masked this).
+    covered = sorted({int(a_) for m_ in anchor_masks for a_ in m_})
     wh_flat = jnp.stack([w, h], -1).reshape(-1, 2)
-    best_anchor = jnp.argmax(_wh_iou(wh_flat, anchors), axis=1).reshape(b, g_max)
+    iou_cov = _wh_iou(wh_flat, anchors[jnp.asarray(covered)])
+    best_anchor = jnp.asarray(covered)[jnp.argmax(iou_cov, axis=1)].reshape(
+        b, g_max
+    )
 
     targets = []
     for scale_idx, (mask, gsize) in enumerate(zip(anchor_masks, grid_sizes)):
@@ -104,6 +114,48 @@ def build_targets(
     return targets
 
 
+def _pred_box_gt_iou(
+    raw: jnp.ndarray,
+    anchors_scale: jnp.ndarray,
+    input_size: int,
+    gt_boxes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """(B, g, g, A) max IoU of each decoded predicted box vs any valid gt.
+
+    Same decode conventions as detector/decode.py and build_targets:
+    axis 1 is rows (y), axis 2 is cols (x); channel 0:2 is txy.
+    """
+    b, g, _, a, _ = raw.shape
+    stride = input_size / g
+    col = jnp.arange(g, dtype=jnp.float32)[None, None, :, None]
+    row = jnp.arange(g, dtype=jnp.float32)[None, :, None, None]
+    pcx = (jax.nn.sigmoid(raw[..., 0]) + col) * stride
+    pcy = (jax.nn.sigmoid(raw[..., 1]) + row) * stride
+    pwh = jnp.exp(jnp.clip(raw[..., 2:4], -10.0, 10.0)) * anchors_scale
+    px1 = pcx - pwh[..., 0] / 2
+    py1 = pcy - pwh[..., 1] / 2
+    px2 = pcx + pwh[..., 0] / 2
+    py2 = pcy + pwh[..., 1] / 2
+    # broadcast against (B, 1, 1, 1, G) gt corners
+    gx1 = gt_boxes[:, None, None, None, :, 0]
+    gy1 = gt_boxes[:, None, None, None, :, 1]
+    gx2 = gt_boxes[:, None, None, None, :, 2]
+    gy2 = gt_boxes[:, None, None, None, :, 3]
+    iw = jnp.maximum(
+        jnp.minimum(px2[..., None], gx2) - jnp.maximum(px1[..., None], gx1), 0.0
+    )
+    ih = jnp.maximum(
+        jnp.minimum(py2[..., None], gy2) - jnp.maximum(py1[..., None], gy1), 0.0
+    )
+    inter = iw * ih
+    pa = ((px2 - px1) * (py2 - py1))[..., None]
+    ga = jnp.maximum((gx2 - gx1) * (gy2 - gy1), 0.0)
+    iou = inter / jnp.maximum(pa + ga - inter, 1e-9)
+    iou = jnp.where(gt_valid[:, None, None, None, :], iou, 0.0)
+    return jnp.max(iou, axis=-1)
+
+
 def yolo_scale_loss(
     head: jnp.ndarray,
     target: Dict[str, jnp.ndarray],
@@ -113,6 +165,9 @@ def yolo_scale_loss(
     obj_weight: float = 1.0,
     noobj_weight: float = 0.5,
     box_weight: float = 5.0,
+    gt_boxes: jnp.ndarray = None,
+    gt_valid: jnp.ndarray = None,
+    ignore_thresh: float = 0.5,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Loss for one detection scale; head (B, g, g, A·(5+nc))."""
     b, g, _, _ = head.shape
@@ -133,11 +188,28 @@ def yolo_scale_loss(
     wh_loss = jnp.sum(jnp.sum(wh_err, -1) * box_scale)
 
     obj_bce = optax_sigmoid_bce(raw[..., 4], obj_t)
-    obj_loss = jnp.sum(jnp.where(pos, obj_weight * obj_bce, noobj_weight * obj_bce))
+    # ignore region (standard YOLOv3): non-positive anchors whose
+    # DECODED box already overlaps a gt above ignore_thresh are neither
+    # positives nor negatives — penalizing them as full negatives pushes
+    # confident near-duplicate predictions toward 0 and depresses recall
+    if gt_boxes is not None:
+        best_iou = _pred_box_gt_iou(
+            jax.lax.stop_gradient(raw), anchors_scale, input_size,
+            gt_boxes, gt_valid,
+        )
+        ignore = (~pos) & (best_iou > ignore_thresh)
+    else:
+        ignore = jnp.zeros_like(pos)
+    noobj_term = jnp.where(ignore, 0.0, noobj_weight * obj_bce)
+    obj_loss = jnp.sum(jnp.where(pos, obj_weight * obj_bce, noobj_term))
 
     if num_classes > 1:
-        cls_bce = optax_sigmoid_bce(raw[..., 5:], jnp.ones_like(raw[..., 5:]))
-        cls_loss = jnp.sum(jnp.sum(cls_bce, -1) * obj_t)
+        raise NotImplementedError(
+            "detector training supervises a single 'face' class — the "
+            "annotation contract (boxes + valid mask) carries no class "
+            "labels to train num_classes > 1 against; multi-class decode "
+            "of CONVERTED weights is unaffected (detector/decode.py)"
+        )
     else:  # single class: supervise the class logit at positives
         cls_loss = jnp.sum(optax_sigmoid_bce(raw[..., 5], obj_t) * obj_t)
 
@@ -150,10 +222,11 @@ def yolo_scale_loss(
 
 
 def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Numerically-stable BCE with logits."""
-    return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
-        jnp.exp(-jnp.abs(logits))
-    )
+    """Numerically-stable BCE with logits (delegates to optax — the
+    identical formulation already ships there; no second copy to drift)."""
+    import optax
+
+    return optax.losses.sigmoid_binary_cross_entropy(logits, labels)
 
 
 def yolo_loss(
@@ -174,7 +247,8 @@ def yolo_loss(
     metrics: Dict[str, jnp.ndarray] = {}
     for i, (head, t, mask) in enumerate(zip(heads, targets, anchor_masks)):
         l, m = yolo_scale_loss(
-            head, t, anchors[jnp.asarray(list(mask))], input_size, num_classes
+            head, t, anchors[jnp.asarray(list(mask))], input_size, num_classes,
+            gt_boxes=gt_boxes, gt_valid=gt_valid,
         )
         total = total + l
         metrics[f"scale{i}_obj"] = m["obj"]

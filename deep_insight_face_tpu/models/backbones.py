@@ -271,12 +271,44 @@ class VGG16(nn.Module):
         return x
 
 
+def _build_resnet50v2(dtype, param_dtype, width=1.0, norm="batch",
+                      remat=False):
+    if width != 1.0:
+        raise TypeError("resnet50v2 has no width multiplier "
+                        f"(got width={width})")
+    if norm != "batch":
+        raise TypeError("resnet50v2 supports only BatchNorm (weight-port "
+                        f"parity); got norm={norm!r} — use mobilenetv2 for "
+                        "GroupNorm")
+    return ResNetV2(dtype=dtype, param_dtype=param_dtype, remat=remat)
+
+
+def _build_mobilenetv2(dtype, param_dtype, width=1.0, norm="batch",
+                       remat=False):
+    if remat:
+        raise TypeError("mobilenetv2 does not implement remat")
+    return MobileNetV2(width=width, norm=norm, dtype=dtype,
+                       param_dtype=param_dtype)
+
+
+def _build_vgg16(dtype, param_dtype, width=1.0, norm="batch", remat=False):
+    if width != 1.0:
+        raise TypeError(f"vgg16 has no width multiplier (got width={width})")
+    if norm != "batch":
+        raise TypeError("vgg16 has no normalization layers; "
+                        f"norm={norm!r} is unsupported")
+    if remat:
+        raise TypeError("vgg16 does not implement remat")
+    return VGG16(dtype=dtype, param_dtype=param_dtype)
+
+
+# Builders validate their kwargs: a config field a backbone cannot honor
+# (norm='group' on resnet50v2, remat on mobilenetv2, width on vgg16…)
+# raises TypeError instead of being swallowed — embedding.py documents
+# exactly that contract, and GroupNorm silently degrading to BatchNorm
+# would re-open the BN batch-stat shortcut it exists to mitigate.
 BACKBONES = {
-    "resnet50v2": lambda dtype, param_dtype, remat=False, **kw: ResNetV2(
-        dtype=dtype, param_dtype=param_dtype, remat=remat
-    ),
-    "mobilenetv2": lambda dtype, param_dtype, width=1.0, norm="batch", **kw:
-        MobileNetV2(width=width, norm=norm, dtype=dtype,
-                    param_dtype=param_dtype),
-    "vgg16": lambda dtype, param_dtype, **kw: VGG16(dtype=dtype, param_dtype=param_dtype),
+    "resnet50v2": _build_resnet50v2,
+    "mobilenetv2": _build_mobilenetv2,
+    "vgg16": _build_vgg16,
 }

@@ -36,7 +36,7 @@ class ConvHead(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = nn.relu(nn.Conv(64, (2, 2), padding="SAME", name="conv_a", **kw)(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Dropout(0.3, deterministic=not train)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.relu(nn.Conv(32, (2, 2), padding="SAME", name="conv_b", **kw)(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

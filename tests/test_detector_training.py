@@ -210,3 +210,68 @@ def test_detector_sampler_and_cli(tmp_path, rng):
         "--steps", "3", "--output", str(out),
     ])
     assert rc == 0 and out.exists()
+
+
+def test_small_face_assigned_despite_uncovered_anchors():
+    """Regression: tiny masks cover anchors 3-8 only; a face whose best
+    overall anchor is 0-2 (e.g. 12×14 px — anchor (10,13)) must still be
+    assigned to the nearest COVERED anchor instead of being trained as
+    background."""
+    boxes = jnp.array([[[200.0, 200.0, 212.0, 214.0]]])
+    valid = jnp.array([[True]])
+    targets = build_targets(
+        boxes, valid, _anchors(), TINY_ANCHOR_MASKS, 416, [13, 26]
+    )
+    total_pos = float(sum(t["obj"].sum() for t in targets))
+    assert total_pos == 1.0, (
+        f"small face assigned to {total_pos} cells — uncovered-anchor gts "
+        "must map into the masked set"
+    )
+    # it should land on the fine scale (stride 16), whose mask holds the
+    # smallest covered anchors (3, 4, 5)
+    assert float(targets[1]["obj"].sum()) == 1.0
+
+
+def test_objectness_ignore_region():
+    """Non-positive anchors whose decoded box overlaps a gt above the
+    ignore threshold contribute NO noobj loss (standard YOLOv3); a clear
+    background cell still does."""
+    from deep_insight_face_tpu.detector.loss import yolo_scale_loss, build_targets
+
+    anchors = _anchors()
+    boxes = jnp.array([[[150.0, 150.0, 250.0, 250.0]]])
+    valid = jnp.array([[True]])
+    (t13, _) = build_targets(
+        boxes, valid, anchors, TINY_ANCHOR_MASKS, 416, [13, 26]
+    )
+    a_scale = anchors[jnp.asarray([6, 7, 8])]
+
+    # craft a head whose anchor-1 prediction at the gt cell decodes to
+    # (nearly) the gt box: cell (6,6), anchor (156,198): logits so that
+    # sigmoid(tx)=0.25, wh = log(100/156), log(100/198); obj logit high
+    raw = np.zeros((1, 13, 13, 3, 6), np.float32)
+    tx = np.log(0.25 / 0.75)
+    raw[0, 6, 6, 1, 0:2] = tx
+    raw[0, 6, 6, 1, 2] = np.log(100.0 / 156.0)
+    raw[0, 6, 6, 1, 3] = np.log(100.0 / 198.0)
+    raw[0, 6, 6, 1, 4] = 6.0  # confident
+    head_overlap = jnp.asarray(raw.reshape(1, 13, 13, 18))
+
+    # same confident logit at a far-away background cell instead
+    raw2 = np.zeros((1, 13, 13, 3, 6), np.float32)
+    raw2[0, 0, 0, 1, 4] = 6.0
+    head_bg = jnp.asarray(raw2.reshape(1, 13, 13, 18))
+
+    _, m_overlap = yolo_scale_loss(
+        head_overlap, t13, a_scale, 416,
+        gt_boxes=boxes, gt_valid=valid,
+    )
+    _, m_bg = yolo_scale_loss(
+        head_bg, t13, a_scale, 416,
+        gt_boxes=boxes, gt_valid=valid,
+    )
+    # the overlapping confident prediction is ignored -> lower obj loss
+    # than the same confidence spent on clear background
+    assert float(m_overlap["obj"]) < float(m_bg["obj"]) - 0.5, (
+        float(m_overlap["obj"]), float(m_bg["obj"]),
+    )
