@@ -37,6 +37,15 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--variant", default="tiny_s2d")
+    ap.add_argument("--snapshot-every", type=int, default=400,
+                    help="write <output>.part.npz every N steps so a "
+                         "wedged TPU tunnel mid-run (CLAUDE.md) costs "
+                         "at most N steps, not the whole run; 0 disables")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from <output>.part.npz if present "
+                         "(params/batch_stats restored; Adam moments "
+                         "restart — a few hundred steps of warmup, not "
+                         "a quality cliff)")
     ap.add_argument("--workers", type=int, default=0,
                     help="parallel scene-render processes (0 = the "
                          "legacy sequential stream; see "
@@ -84,6 +93,27 @@ def main() -> int:
 
     chunk = min(8, args.steps)
 
+    part_path = os.path.abspath(args.output) + ".part.npz"
+    part_meta = part_path[: -len(".npz")] + ".json"
+    start_step = 0
+    if args.resume and os.path.exists(part_path):
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        try:
+            snap = load_npz(part_path)
+            with open(part_meta) as f:
+                start_step = json.load(f)["step"]
+        except Exception as e:  # truncated/corrupt snapshot: start over
+            print(f"snapshot unusable ({e!r}) — training from scratch",
+                  flush=True)
+            start_step = 0
+        else:
+            start_step -= start_step % chunk
+            state = state.replace(
+                params=snap["params"], batch_stats=snap["batch_stats"]
+            )
+            print(f"resumed from snapshot at step {start_step}", flush=True)
+
     @jax.jit
     def multi_step(state, batches):
         metrics = None
@@ -98,18 +128,33 @@ def main() -> int:
     n_chunks = args.steps // chunk
     for i in range(n_chunks):
         idx = r.integers(0, args.train_n, (chunk, args.batch))
+        done = (i + 1) * chunk
+        if done <= start_step:  # resume: replay the rng, skip the work
+            continue
         batches = {
             "images": jnp.asarray(imgs[tr][idx]).astype(jnp.float32),
             "boxes": jnp.asarray(boxes[tr][idx]),
             "valid": jnp.asarray(valid[tr][idx]),
         }
         state, metrics = multi_step(state, batches)
-        done = (i + 1) * chunk
         if (i + 1) % max(n_chunks // 20, 1) == 0:
             print(
                 f"step {done}/{args.steps} loss {float(metrics['loss']):.3f} "
-                f"({(time.time()-t0)/done*1000:.0f} ms/step)", flush=True,
+                f"({(time.time()-t0)/max(done - start_step, 1)*1000:.0f} "
+                f"ms/step)", flush=True,
             )
+        if args.snapshot_every and done % args.snapshot_every == 0:
+            # atomic: a kill mid-write must not leave a truncated npz
+            # that poisons the next --resume
+            # tmp name keeps the .npz suffix (np.savez appends it otherwise)
+            save_npz(part_path + ".tmp.npz", {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            })
+            os.replace(part_path + ".tmp.npz", part_path)
+            with open(part_meta + ".tmp", "w") as f:
+                json.dump({"step": done}, f)
+            os.replace(part_meta + ".tmp", part_meta)
 
     # held-out AP through the REAL serving path (FaceDetector: letterbox,
     # /255, decode, Pallas NMS)
@@ -148,6 +193,9 @@ def main() -> int:
     }
     with open(path.replace(".npz", ".json"), "w") as f:
         json.dump(meta, f, indent=2)
+    for p in (part_path, part_meta):  # final save supersedes snapshots
+        if os.path.exists(p):
+            os.remove(p)
     print(f"saved {path} ({os.path.getsize(path)/1e6:.1f} MB)", flush=True)
     return 0
 
