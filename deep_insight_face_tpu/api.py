@@ -93,7 +93,19 @@ class FaceRecognition:
         detector_variables=None,
         landmark_variables=None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh`` (a ``jax.sharding.Mesh``, e.g. from
+        ``parallel.create_mesh()``) turns on multi-chip serving: the
+        batch path (`face_encodings_batch`) shards frames over the
+        mesh's data axis via ``parallel.serve.build_sharded_pipeline``
+        (weights replicated, zero per-step collectives) — batch sizes
+        must then be divisible by that axis.
+
+        ``landmark_variables``: None auto-loads the shipped LandmarkNet
+        weights; ``False`` opts out of the landmark stage entirely
+        (box-aligned crops only)."""
+        self.mesh = mesh
         self.cfg = cfg or default_config()
         self.model = build_embedding_model(self.cfg.model)
         key = jax.random.key(seed)
@@ -125,6 +137,10 @@ class FaceRecognition:
             )
 
             landmark_variables = load_landmark_variables()
+        elif landmark_variables is False:
+            # explicit opt-out: serve box-aligned crops without the
+            # landmark stage (None means "auto-load shipped weights")
+            landmark_variables = None
         self._landmark_variables = landmark_variables
         self._jit_embed = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
@@ -309,20 +325,38 @@ class FaceRecognition:
         if not hasattr(self, "_pipelines"):
             self._pipelines = {}
         if key not in self._pipelines:
-            self._pipelines[key] = build_pipeline(
-                self.cfg, self.model, self.detector.model,
+            build_kw = dict(
                 align="landmark" if use_lm else "box",
                 landmark_model=self.landmark_model if use_lm else None,
             )
+            if self.mesh is not None:
+                from deep_insight_face_tpu.parallel.serve import (
+                    build_sharded_pipeline,
+                )
+
+                self._pipelines[key] = build_sharded_pipeline(
+                    self.cfg, self.model, self.mesh,
+                    detector_model=self.detector.model, **build_kw,
+                )
+            else:
+                self._pipelines[key] = build_pipeline(
+                    self.cfg, self.model, self.detector.model, **build_kw,
+                )
+        if self.mesh is not None:
+            from deep_insight_face_tpu.parallel.serve import shard_frames
+
+            frames = shard_frames(images, self.mesh)
+        else:
+            frames = jnp.asarray(images)
         if use_lm:
             out = self._pipelines[key](
                 self.detector.variables, self._landmark_variables,
-                self.embed_variables, jnp.asarray(images),
+                self.embed_variables, frames,
             )
         else:
             out = self._pipelines[key](
                 self.detector.variables, self.embed_variables,
-                jnp.asarray(images),
+                frames,
             )
         return (
             np.asarray(out.embeddings),

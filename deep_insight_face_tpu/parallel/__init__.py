@@ -3,6 +3,10 @@ from deep_insight_face_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     initialize_distributed,
 )
+from deep_insight_face_tpu.parallel.serve import (  # noqa: F401
+    build_sharded_pipeline,
+    shard_frames,
+)
 from deep_insight_face_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
     create_train_state,
@@ -12,6 +16,8 @@ from deep_insight_face_tpu.parallel.train_step import (  # noqa: F401
 
 __all__ = [
     "TrainState",
+    "build_sharded_pipeline",
+    "shard_frames",
     "create_mesh",
     "create_train_state",
     "data_sharding",

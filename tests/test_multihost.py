@@ -69,6 +69,51 @@ _WORKER = textwrap.dedent(
     w = jnp.ones((4, 16), jnp.float32)
     ws = jax.device_put(w, classifier_sharding(mesh))
     assert ws.sharding.spec == P(None, "model")
+
+    # sharded SERVING across the 2-process mesh: the full fused
+    # detect -> Pallas NMS -> align -> embed program, frames sharded
+    # over the data axis (which spans both processes -> DCN), weights
+    # replicated. Every process holds the same host values, so
+    # device_put to cross-process shardings is well-defined.
+    from deep_insight_face_tpu.config import (
+        Config, DataConfig, DetectorConfig, ModelConfig,
+    )
+    from deep_insight_face_tpu.models import (
+        build_embedding_model, init_embedding_params,
+    )
+    from deep_insight_face_tpu.parallel.serve import (
+        build_sharded_pipeline, shard_frames,
+    )
+    from deep_insight_face_tpu.pipeline import make_detector_model
+
+    cfg = Config(
+        model=ModelConfig(backbone="mobilenetv2", head="gdc",
+                          embedding_size=16, image_size=32,
+                          compute_dtype="float32", width_multiplier=0.35),
+        detector=DetectorConfig(variant="tiny", input_size=128,
+                                score_threshold=0.0,
+                                decision_threshold=0.0),
+        data=DataConfig(preprocess_mode="tf"),
+    )
+    em = build_embedding_model(cfg.model)
+    ev = jax.tree.map(
+        np.asarray, init_embedding_params(em, jax.random.key(0), 32)
+    )
+    dm, _ = make_detector_model(cfg.detector)
+    dv = jax.tree.map(
+        np.asarray, dm.init(jax.random.key(1), jnp.zeros((1, 128, 128, 3)))
+    )
+    ev = jax.device_put(ev, replicated(mesh))
+    dv = jax.device_put(dv, replicated(mesh))
+    frames = np.random.default_rng(0).integers(
+        0, 255, (8, 96, 96, 3), dtype=np.uint8
+    )
+    out = build_sharded_pipeline(cfg, em, mesh, detector_model=dm)(
+        dv, ev, shard_frames(frames, mesh)
+    )
+    assert out.embeddings.shape == (8, 16)
+    for s in out.embeddings.addressable_shards:
+        assert np.isfinite(np.asarray(s.data)).all()
     print(f"OK proc {pid}", flush=True)
     """
 )
@@ -88,7 +133,12 @@ def test_two_process_mesh_and_collectives(tmp_path):
     worker.write_text(_WORKER)
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # strip the axon sitecustomize dir: its PJRT plugin registration can
+    # make ANY backend init hang while the TPU tunnel is wedged
+    # (CLAUDE.md) — the workers are CPU-only by construction
+    keep = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + keep)
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(port)],
@@ -99,7 +149,7 @@ def test_two_process_mesh_and_collectives(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=600)  # pipeline compile is ~90 s/proc
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
