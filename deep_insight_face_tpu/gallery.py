@@ -19,8 +19,10 @@ import numpy as np
 from deep_insight_face_tpu.ops.distances import (
     gallery_match,
     gallery_scores,
+    gallery_topk,
     make_sharded_gallery_match,
     make_sharded_gallery_scores,
+    make_sharded_gallery_topk,
 )
 
 #: verification thresholds per embedding family
@@ -59,6 +61,7 @@ class FaceGallery:
             self._match_fn = None
             self._scores_fn = None
             self._n_model = self._n_data = 1
+        self._topk_fns: Dict[int, object] = {}
 
     # -- enrollment ---------------------------------------------------------
 
@@ -159,6 +162,41 @@ class FaceGallery:
             scores, idx = gallery_match(q, self._gallery())
             idx = np.asarray(idx)
         return [self._names[i] for i in idx], np.asarray(scores)
+
+    def identify_topk(
+        self, queries: np.ndarray, k: int = 5
+    ) -> Tuple[List[List[str]], np.ndarray]:
+        """Top-k matches per query: (names (M lists of k), scores (M, k)
+        descending). Chunked merge on one device; per-shard top-k + a
+        k·n_model-wide all-gather combine over a mesh (the row-0 padding
+        is masked out by enrolled count, so duplicates never appear)."""
+        if not self._names:
+            raise ValueError("gallery is empty")
+        k = min(k, len(self))
+        q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        if self.mesh is not None:
+            # sharded path: gallery rows arrive pre-normalized
+            # (_gallery contract), so normalize queries here
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
+                                1e-12)
+            if k not in self._topk_fns:
+                self._topk_fns[k] = make_sharded_gallery_topk(self.mesh, k)
+            m = q.shape[0]
+            pad = (-m) % self._n_data
+            if pad:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0
+                )
+            scores, idx = self._topk_fns[k](
+                q, self._gallery(), jnp.int32(len(self))
+            )
+            scores, idx = scores[:m], np.asarray(idx)[:m]
+        else:
+            # single-device gallery is stored raw: normalize both sides
+            scores, idx = gallery_topk(q, self._gallery(), k)
+            idx = np.asarray(idx)
+        names = [[self._names[i] for i in row] for row in idx]
+        return names, np.asarray(scores)
 
     def verify(
         self,

@@ -251,6 +251,92 @@ def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
     return jax.jit(matcher)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "normalize", "chunk"))
+def gallery_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int,
+    normalize: bool = True,
+    chunk: int = 131072,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k gallery matches per query: (scores (M, k), indices (M, k)),
+    scores descending.
+
+    Chunked MXU matmul with a running ``lax.top_k`` merge — peak memory
+    is O(M·chunk), independent of N, so a 10⁷-row gallery never
+    materializes an (M, N) matrix. The chunk loop is unrolled in Python
+    (static trip count; ``lax.scan`` compiles pathologically slowly on
+    the remote TPU toolchain — CLAUDE.md).
+    """
+    if normalize:
+        queries, gallery = _normalize(queries), _normalize(gallery)
+    m, d = queries.shape
+    n = gallery.shape[0]
+    k = min(k, n)
+    queries = queries.astype(jnp.float32)
+    best_s = jnp.full((m, k), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((m, k), jnp.int32)
+    for start in range(0, n, chunk):
+        g = gallery[start : start + chunk].astype(jnp.float32)
+        s = jnp.dot(queries, g.T, preferred_element_type=jnp.float32)
+        if s.shape[1] < k:  # short final chunk: pad so top_k is legal
+            s = jnp.pad(s, ((0, 0), (0, k - s.shape[1])),
+                        constant_values=-jnp.inf)
+        ts, ti = jax.lax.top_k(s, k)
+        ci = jnp.concatenate([best_i, (ti + start).astype(jnp.int32)], axis=1)
+        cs = jnp.concatenate([best_s, ts], axis=1)
+        best_s, sel = jax.lax.top_k(cs, k)
+        best_i = jnp.take_along_axis(ci, sel, axis=1)
+    return best_s, best_i
+
+
+def make_sharded_gallery_topk(mesh, k, data_axis=None, model_axis=None):
+    """Build a jitted (queries, gallery, n_actual) → (scores, indices)
+    top-k matcher sharded over ``mesh`` (queries over data, gallery rows
+    over model).
+
+    Each shard computes a local top-k on its N/n_model rows, then the
+    (M_local, k) candidates all-gather over the model axis (k·n_model
+    values per query — tiny) and a final ``top_k`` picks the global
+    winners. ``n_actual`` (traced, no recompile as the gallery grows)
+    masks FaceGallery's row-0 duplicate padding out of the candidate
+    set, which the top-1 matcher's tie-break argument does not cover
+    for k > 1. Queries and gallery pre-l2-normalized, same contract as
+    :func:`make_sharded_gallery_match`.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    data_axis = data_axis or mesh.axis_names[0]
+    model_axis = model_axis or (
+        mesh.axis_names[1] if len(mesh.axis_names) > 1 else mesh.axis_names[0]
+    )
+    if model_axis == data_axis:
+        data_axis = None
+
+    def body(q, g, n_actual):
+        local_n = g.shape[0]
+        kk = min(k, local_n)
+        s, i = gallery_topk(q, g, kk, normalize=False)
+        gi = i + jax.lax.axis_index(model_axis) * local_n
+        s = jnp.where(gi < n_actual, s, -jnp.inf)
+        all_s = jax.lax.all_gather(s, model_axis, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, model_axis, axis=1, tiled=True)
+        bs, sel = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+        return bs, jnp.take_along_axis(all_i, sel, axis=1)
+
+    q_spec = P(data_axis, None)
+    o_spec = P(data_axis, None)
+    matcher = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(q_spec, P(model_axis, None), P()),
+        out_specs=(o_spec, o_spec),
+        check_rep=False,
+    )
+    return jax.jit(matcher)
+
+
 def make_sharded_gallery_scores(mesh, data_axis=None, model_axis=None):
     """Build a jitted (queries, gallery) → (M, N) score-matrix fn sharded
     over ``mesh`` (queries over data, gallery rows over model); each

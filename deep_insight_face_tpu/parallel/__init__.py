@@ -5,6 +5,7 @@ from deep_insight_face_tpu.parallel.mesh import (  # noqa: F401
 )
 from deep_insight_face_tpu.parallel.serve import (  # noqa: F401
     build_sharded_pipeline,
+    serve_stream,
     shard_frames,
 )
 from deep_insight_face_tpu.parallel.train_step import (  # noqa: F401
@@ -21,6 +22,7 @@ __all__ = [
     "create_mesh",
     "create_train_state",
     "data_sharding",
+    "serve_stream",
     "initialize_distributed",
     "make_eval_embed_fn",
     "make_train_step",

@@ -99,6 +99,53 @@ def build_sharded_pipeline(
     return call
 
 
+def serve_stream(pipeline_fn, var_args, batches, mesh=None, depth: int = 2):
+    """Stream frame batches through a serving pipeline, overlapping host
+    staging with device compute.
+
+    A background thread device_puts each uint8 frame batch (sharded over
+    ``mesh``'s data axis when given) while the device still runs the
+    previous one; JAX's async dispatch then keeps the chip busy across
+    batch boundaries — the serving analog of the training
+    ``DevicePrefetcher`` (data/loader.py), replacing the reference's
+    fully synchronous one-image-at-a-time loop
+    (reference: deep_insight_face/predictions.py:91-96).
+
+    ``pipeline_fn``: a (single-device or sharded) pipeline callable;
+    ``var_args``: its leading weight arguments;
+    ``batches``: an iterator of uint8 (N, H, W, C) host arrays.
+    Yields pipeline outputs in order (device arrays — don't fetch until
+    you need them, or you serialize the overlap away).
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    err: list = []
+
+    def stage():
+        try:
+            for b in batches:
+                q.put(shard_frames(b, mesh) if mesh is not None
+                      else jax.device_put(b))
+            q.put(sentinel)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+            q.put(sentinel)
+
+    t = threading.Thread(target=stage, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise RuntimeError(f"serve_stream staging failed: {err[0]!r}") \
+                    from err[0]
+            return
+        yield pipeline_fn(*var_args, item)
+
+
 def shard_frames(images, mesh) -> jax.Array:
     """Place a host frame batch sharded over the mesh's data axis (the
     device_put is what lets each chip DMA only its own shard)."""

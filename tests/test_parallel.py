@@ -355,6 +355,36 @@ def test_sharded_gallery_one_axis_mesh(rng):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("n_ids,n_q,k", [(64, 8, 5), (67, 13, 5), (10, 4, 16)])
+def test_sharded_gallery_topk_equals_single_device(rng, n_ids, n_q, k):
+    """Sharded top-k == single-device top-k == dense oracle, including
+    the row-0-duplicate padding (67 % 2 != 0) which MUST NOT appear as a
+    duplicate entry in any top-k list, and k > n clamping."""
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    mesh = create_mesh(MeshConfig(model_parallel=2))
+    gal_s = FaceGallery(embedding_size=32, mesh=mesh)
+    gal_1 = FaceGallery(embedding_size=32)
+    embs = _random_embs(rng, n_ids)
+    gal_s.add_batch([f"id{i}" for i in range(n_ids)], embs)
+    gal_1.add_batch([f"id{i}" for i in range(n_ids)], embs)
+
+    q = _random_embs(rng, n_q)
+    names_s, scores_s = gal_s.identify_topk(q, k=k)
+    names_1, scores_1 = gal_1.identify_topk(q, k=k)
+    kk = min(k, n_ids)
+    dense = q @ embs.T
+    want_idx = np.argsort(-dense, axis=1)[:, :kk]
+    assert names_1 == [[f"id{i}" for i in row] for row in want_idx]
+    assert names_s == names_1
+    np.testing.assert_allclose(scores_s, scores_1, atol=1e-5)
+    np.testing.assert_allclose(
+        scores_1, np.take_along_axis(dense, want_idx, axis=1), atol=1e-4
+    )
+    for row in names_s:  # no duplicates (padding leak / merge bug)
+        assert len(set(row)) == len(row), row
+
+
 def test_sharded_gallery_placement(rng):
     """The device gallery really is sharded over the model axis."""
     from deep_insight_face_tpu.gallery import FaceGallery

@@ -167,6 +167,37 @@ def test_api_mesh_serving(small_cfg, setup, rng):
         fr_mesh.face_encodings_batch(imgs[:6])
 
 
+def test_serve_stream_matches_direct_calls(small_cfg, setup, rng):
+    """serve_stream yields the same outputs, in order, as direct calls —
+    on both the single-device and sharded pipelines — and propagates
+    staging errors."""
+    from deep_insight_face_tpu.parallel.serve import serve_stream
+
+    em, ev, dm, dv = setup
+    mesh = create_mesh()
+    sharded = build_sharded_pipeline(small_cfg, em, mesh, detector_model=dm)
+    single = build_pipeline(small_cfg, em, dm)
+    batches = [np.asarray(_frames(rng)) for _ in range(3)]
+
+    for fn, kw in ((single, {}), (sharded, {"mesh": mesh})):
+        outs = list(serve_stream(fn, (dv, ev), iter(batches), **kw))
+        assert len(outs) == 3
+        for got, b in zip(outs, batches):
+            want = single(dv, ev, jnp.asarray(b))
+            np.testing.assert_allclose(np.asarray(got.embeddings),
+                                       np.asarray(want.embeddings),
+                                       rtol=0, atol=2e-5)
+
+    def bad_batches():
+        yield batches[0]
+        raise OSError("decode failed")
+
+    stream = serve_stream(single, (dv, ev), bad_batches())
+    next(stream)
+    with pytest.raises(RuntimeError, match="staging failed"):
+        list(stream)
+
+
 def test_indivisible_batch_raises(small_cfg, setup, rng):
     em, ev, dm, dv = setup
     mesh = create_mesh()
