@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--queries", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--topk", type=int, default=5,
+                    help="also benchmark identify_topk at this k (0 skips)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +88,24 @@ def main() -> int:
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out), flush=True)
+
+    if args.topk:
+        nk, sk = gal.identify_topk(queries[0], k=args.topk)  # warmup
+        print(f"topk warmup ok (first row {nk[0][:2]} …)", flush=True)
+        best = float("inf")
+        for r in range(args.rounds):
+            t0 = time.perf_counter()
+            for q in queries:
+                gal.identify_topk(q + np.float32((r + 1) * 1e-4),
+                                  k=args.topk)
+            best = min(best, time.perf_counter() - t0)
+        out_k = dict(out)
+        out_k.update(
+            metric="gallery_identify_topk_sharded",
+            value=round(args.queries * len(queries) / best, 1),
+            k=args.topk,
+        )
+        print(json.dumps(out_k), flush=True)
     return 0
 
 
