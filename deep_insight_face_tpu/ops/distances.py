@@ -251,13 +251,16 @@ def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
     return jax.jit(matcher)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "normalize", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "normalize", "chunk")
+)
 def gallery_topk(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
     k: int,
     normalize: bool = True,
     chunk: int = 131072,
+    n_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k gallery matches per query: (scores (M, k), indices (M, k)),
     scores descending.
@@ -267,6 +270,11 @@ def gallery_topk(
     materializes an (M, N) matrix. The chunk loop is unrolled in Python
     (static trip count; ``lax.scan`` compiles pathologically slowly on
     the remote TPU toolchain — CLAUDE.md).
+
+    ``n_valid`` (traced scalar): gallery rows with index ≥ n_valid score
+    -inf. This must happen BEFORE the per-chunk top-k — the sharded
+    wrapper's padding rows would otherwise evict genuine candidates from
+    the local top-k and a post-hoc mask could not bring them back.
     """
     if normalize:
         queries, gallery = _normalize(queries), _normalize(gallery)
@@ -279,6 +287,9 @@ def gallery_topk(
     for start in range(0, n, chunk):
         g = gallery[start : start + chunk].astype(jnp.float32)
         s = jnp.dot(queries, g.T, preferred_element_type=jnp.float32)
+        if n_valid is not None:
+            col = start + jnp.arange(s.shape[1], dtype=jnp.int32)
+            s = jnp.where(col[None, :] < n_valid, s, -jnp.inf)
         if s.shape[1] < k:  # short final chunk: pad so top_k is legal
             s = jnp.pad(s, ((0, 0), (0, k - s.shape[1])),
                         constant_values=-jnp.inf)
@@ -300,8 +311,12 @@ def make_sharded_gallery_topk(mesh, k, data_axis=None, model_axis=None):
     values per query — tiny) and a final ``top_k`` picks the global
     winners. ``n_actual`` (traced, no recompile as the gallery grows)
     masks FaceGallery's row-0 duplicate padding out of the candidate
-    set, which the top-1 matcher's tie-break argument does not cover
-    for k > 1. Queries and gallery pre-l2-normalized, same contract as
+    set — the top-1 matcher's tie-break argument does not cover k > 1 —
+    and the mask applies INSIDE the per-shard selection (a padding
+    duplicate must not evict a genuine local candidate before the
+    combine; post-hoc masking loses it irrecoverably when ≥ 2 padding
+    rows land on one shard, i.e. whenever n_model ≥ 3). Queries and
+    gallery pre-l2-normalized, same contract as
     :func:`make_sharded_gallery_match`.
     """
     from jax.experimental.shard_map import shard_map
@@ -317,9 +332,11 @@ def make_sharded_gallery_topk(mesh, k, data_axis=None, model_axis=None):
     def body(q, g, n_actual):
         local_n = g.shape[0]
         kk = min(k, local_n)
-        s, i = gallery_topk(q, g, kk, normalize=False)
-        gi = i + jax.lax.axis_index(model_axis) * local_n
-        s = jnp.where(gi < n_actual, s, -jnp.inf)
+        offset = jax.lax.axis_index(model_axis) * local_n
+        # rows valid on THIS shard: global index < n_actual
+        local_valid = jnp.clip(n_actual - offset, 0, local_n)
+        s, i = gallery_topk(q, g, kk, normalize=False, n_valid=local_valid)
+        gi = i + offset
         all_s = jax.lax.all_gather(s, model_axis, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, model_axis, axis=1, tiled=True)
         bs, sel = jax.lax.top_k(all_s, min(k, all_s.shape[1]))

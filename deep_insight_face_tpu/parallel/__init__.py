@@ -3,11 +3,6 @@ from deep_insight_face_tpu.parallel.mesh import (  # noqa: F401
     data_sharding,
     initialize_distributed,
 )
-from deep_insight_face_tpu.parallel.serve import (  # noqa: F401
-    build_sharded_pipeline,
-    serve_stream,
-    shard_frames,
-)
 from deep_insight_face_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
     create_train_state,
@@ -27,3 +22,19 @@ __all__ = [
     "make_eval_embed_fn",
     "make_train_step",
 ]
+
+
+# serve.py pulls the whole serving stack (pipeline, detector models,
+# align/NMS ops); keep it OUT of the eager imports so training-only
+# entry points don't pay the import (PEP 562 lazy re-export).
+_SERVE_EXPORTS = ("build_sharded_pipeline", "serve_stream", "shard_frames")
+
+
+def __getattr__(name):
+    if name in _SERVE_EXPORTS:
+        from deep_insight_face_tpu.parallel import serve
+
+        return getattr(serve, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

@@ -123,27 +123,50 @@ def serve_stream(pipeline_fn, var_args, batches, mesh=None, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
     err: list = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        # bounded put that aborts when the consumer abandons the stream
+        # (generator closed / pipeline_fn raised) — otherwise the thread
+        # would block forever holding device-resident frame batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def stage():
         try:
             for b in batches:
-                q.put(shard_frames(b, mesh) if mesh is not None
-                      else jax.device_put(b))
-            q.put(sentinel)
+                if not put(shard_frames(b, mesh) if mesh is not None
+                           else jax.device_put(b)):
+                    return
+            put(sentinel)
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=stage, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise RuntimeError(f"serve_stream staging failed: {err[0]!r}") \
-                    from err[0]
-            return
-        yield pipeline_fn(*var_args, item)
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise RuntimeError(
+                        f"serve_stream staging failed: {err[0]!r}"
+                    ) from err[0]
+                return
+            yield pipeline_fn(*var_args, item)
+    finally:
+        stop.set()
+        try:  # unblock a put in flight so the thread exits promptly
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def shard_frames(images, mesh) -> jax.Array:

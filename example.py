@@ -111,6 +111,9 @@ def main() -> int:
         names, scores = gallery.identify(probe)
         hits += names[0] == c.name
     print(f"gallery identification: {hits}/{len(classes)} probes correct")
+    topk_names, topk_scores = gallery.identify_topk(probe, k=3)
+    print(f"  last probe top-3: {topk_names[0]} "
+          f"(scores {np.round(topk_scores[0], 2).tolist()})")
 
     # --- one-shot -----------------------------------------------------------
     def embed_paths(paths):

@@ -355,14 +355,54 @@ def test_sharded_gallery_one_axis_mesh(rng):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize("n_ids,n_q,k", [(64, 8, 5), (67, 13, 5), (10, 4, 16)])
-def test_sharded_gallery_topk_equals_single_device(rng, n_ids, n_q, k):
-    """Sharded top-k == single-device top-k == dense oracle, including
-    the row-0-duplicate padding (67 % 2 != 0) which MUST NOT appear as a
-    duplicate entry in any top-k list, and k > n clamping."""
+def test_sharded_gallery_topk_padding_cannot_evict_candidates(rng):
+    """Regression: with n_model >= 3 multiple row-0 duplicates can land
+    on ONE shard; they must be masked out BEFORE the per-shard top-k or
+    they evict genuine candidates that a post-hoc mask cannot recover.
+    Construction: N=26 over model=4 (pad=2, both on the last shard with
+    5 real rows), row 0 scoring above the last shard's k-th candidate."""
     from deep_insight_face_tpu.gallery import FaceGallery
 
-    mesh = create_mesh(MeshConfig(model_parallel=2))
+    d, n, q_dim = 32, 26, 32
+    base = _random_embs(rng, n + 1)
+    query = base[-1]
+    # engineer scores: rows 21-23 best, row 0 strong, row 24 in the
+    # global top-5, the rest weak — all unit-norm
+    def with_score(v, target):
+        v = v - np.dot(v, query) * query  # orthogonalize
+        v /= np.linalg.norm(v)
+        return target * query + np.sqrt(1 - target**2) * v
+
+    embs = np.stack([with_score(base[i], s) for i, s in enumerate(
+        [0.95] + [0.1] * 20 + [0.99, 0.98, 0.97, 0.94] + [0.05]
+    )]).astype(np.float32)
+
+    mesh = create_mesh(MeshConfig(model_parallel=4))
+    gal_s = FaceGallery(embedding_size=d, mesh=mesh)
+    gal_1 = FaceGallery(embedding_size=d)
+    gal_s.add_batch([f"id{i}" for i in range(n)], embs)
+    gal_1.add_batch([f"id{i}" for i in range(n)], embs)
+
+    qb = np.tile(query[None], (2, 1)).astype(np.float32)
+    names_s, scores_s = gal_s.identify_topk(qb, k=5)
+    names_1, scores_1 = gal_1.identify_topk(qb, k=5)
+    assert names_1[0] == ["id21", "id22", "id23", "id0", "id24"]
+    assert names_s == names_1
+    np.testing.assert_allclose(scores_s, scores_1, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_ids,n_q,k,mp", [
+    (64, 8, 5, 2), (67, 13, 5, 2), (10, 4, 16, 2),
+    (26, 8, 5, 4), (21, 8, 3, 8),   # multi-row padding regimes
+])
+def test_sharded_gallery_topk_equals_single_device(rng, n_ids, n_q, k, mp):
+    """Sharded top-k == single-device top-k == dense oracle, including
+    row-0-duplicate padding (single- AND multi-row: 21 over 8 shards
+    pads 3 rows) which MUST NOT appear as a duplicate entry in any
+    top-k list, and k > n clamping."""
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    mesh = create_mesh(MeshConfig(model_parallel=mp))
     gal_s = FaceGallery(embedding_size=32, mesh=mesh)
     gal_1 = FaceGallery(embedding_size=32)
     embs = _random_embs(rng, n_ids)

@@ -198,6 +198,34 @@ def test_serve_stream_matches_direct_calls(small_cfg, setup, rng):
         list(stream)
 
 
+def test_serve_stream_abandonment_stops_staging(small_cfg, setup, rng):
+    """Closing the stream early must cancel the staging thread — it
+    would otherwise block forever on q.put holding device-resident
+    batches (leaked thread + pinned memory per abandoned stream)."""
+    import time
+
+    from deep_insight_face_tpu.parallel.serve import serve_stream
+
+    em, ev, dm, dv = setup
+    single = build_pipeline(small_cfg, em, dm)
+    frames = np.asarray(_frames(rng))
+    state = {"count": 0}
+
+    def many_batches():
+        for _ in range(50):
+            state["count"] += 1
+            yield frames
+
+    stream = serve_stream(single, (dv, ev), many_batches(), depth=2)
+    next(stream)
+    stream.close()  # consumer abandons after one batch
+    time.sleep(1.0)
+    c1 = state["count"]
+    time.sleep(0.5)
+    assert state["count"] == c1, "staging kept running after close"
+    assert state["count"] < 50, "staging consumed the whole iterator"
+
+
 def test_indivisible_batch_raises(small_cfg, setup, rng):
     em, ev, dm, dv = setup
     mesh = create_mesh()
