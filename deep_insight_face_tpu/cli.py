@@ -1,5 +1,5 @@
 """Typed CLI: train / evaluate / generate-pairs / pack-bin /
-convert-weights / demo / bench.
+convert-weights / demo / enroll / identify / bench.
 
 One argparse tree replacing the reference's four console scripts
 (reference: scripts/insight_face.py click group + generate_pairs.py +
@@ -258,6 +258,112 @@ def cmd_demo(args: argparse.Namespace) -> int:
     return 0
 
 
+def _encode_paths(fr, paths: List[str]):
+    """Decode ``paths``, group frames by (H, W) so each distinct shape
+    compiles exactly one fused program, and run the batch pipeline per
+    group. Returns (embeddings (N, D) float32, found (N,) bool) aligned
+    with ``paths``."""
+    import numpy as np
+
+    from deep_insight_face_tpu.data.dataset import load_image
+
+    frames = [load_image(p) for p in paths]
+    groups: dict = {}
+    for i, f in enumerate(frames):
+        groups.setdefault(f.shape[:2], []).append(i)
+    emb = None
+    found = np.zeros(len(paths), bool)
+    for idx in groups.values():
+        e, _, fnd = fr.face_encodings_batch(
+            np.stack([frames[i] for i in idx])
+        )
+        if emb is None:
+            emb = np.zeros((len(paths), e.shape[1]), np.float32)
+        emb[np.asarray(idx)] = np.asarray(e, np.float32)
+        found[np.asarray(idx)] = np.asarray(fnd, bool)
+    return emb, found
+
+
+def cmd_enroll(args: argparse.Namespace) -> int:
+    """Build a FaceGallery from a folder-per-identity tree: detect, align
+    and embed every image through the fused pipeline, enroll one mean
+    (re-normalized) embedding per identity (working equivalent of the
+    reference's hand-maintained 'database' dict, predictions.py:47-135)."""
+    import numpy as np
+
+    from deep_insight_face_tpu.api import FaceRecognition
+    from deep_insight_face_tpu.data.dataset import get_dataset
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    classes = get_dataset(args.image_dir, min_images=args.min_images)
+    if not classes:
+        print(f"no identities found under {args.image_dir}", file=sys.stderr)
+        return 1
+    fr = FaceRecognition()
+    paths: List[str] = []
+    owner: List[str] = []
+    for c in classes:
+        paths.extend(c.image_paths)
+        owner.extend([c.name] * len(c.image_paths))
+    emb, found = _encode_paths(fr, paths)
+    owner_arr = np.array(owner)
+    names: List[str] = []
+    vecs: List[np.ndarray] = []
+    for c in classes:
+        mask = owner_arr == c.name
+        if not args.keep_undetected:
+            mask &= found
+        if not mask.any():
+            print(f"  {c.name}: no face detected in any image — skipped",
+                  file=sys.stderr)
+            continue
+        m = emb[mask].mean(axis=0)
+        m /= max(float(np.linalg.norm(m)), 1e-12)
+        names.append(c.name)
+        vecs.append(m)
+    if not names:
+        print("no identities enrolled", file=sys.stderr)
+        return 1
+    gallery = FaceGallery(embedding_size=emb.shape[1])
+    gallery.add_batch(names, np.stack(vecs))
+    gallery.save(args.output)
+    print(
+        f"enrolled {len(names)}/{len(classes)} identities "
+        f"({len(paths)} images, {int(found.sum())} with a detected face) "
+        f"→ {args.output}"
+    )
+    return 0
+
+
+def cmd_identify(args: argparse.Namespace) -> int:
+    """Identify the best face in each image against a saved gallery
+    (top-k names + cosine scores; 'unknown' below --min-score)."""
+    from deep_insight_face_tpu.api import FaceRecognition
+    from deep_insight_face_tpu.gallery import FaceGallery
+
+    gallery = FaceGallery.load(args.gallery)
+    if len(gallery) == 0:
+        print("gallery is empty", file=sys.stderr)
+        return 1
+    fr = FaceRecognition()
+    emb, found = _encode_paths(fr, args.images)
+    k = max(1, min(args.top_k, len(gallery)))
+    names, scores = gallery.identify_topk(emb, k=k)
+    for path, fnd, row_names, row_scores in zip(
+        args.images, found, names, scores
+    ):
+        if not fnd:
+            print(f"{path}: no face detected")
+            continue
+        best = (row_names[0] if float(row_scores[0]) >= args.min_score
+                else "unknown")
+        detail = ", ".join(
+            f"{n}={float(s):.3f}" for n, s in zip(row_names, row_scores)
+        )
+        print(f"{path}: {best} ({detail})")
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import subprocess
 
@@ -355,6 +461,28 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("demo", help="detect+embed faces in one image")
     d.add_argument("image")
     d.set_defaults(fn=cmd_demo)
+
+    en = sub.add_parser(
+        "enroll", help="build a gallery from a folder-per-identity tree"
+    )
+    en.add_argument("--image-dir", required=True)
+    en.add_argument("--output", required=True, help="gallery .npz path")
+    en.add_argument("--min-images", type=int, default=1)
+    en.add_argument("--keep-undetected", action="store_true",
+                    help="enroll best-effort crops even when no face "
+                         "passed the decision gate")
+    en.set_defaults(fn=cmd_enroll)
+
+    idf = sub.add_parser(
+        "identify", help="match faces against a saved gallery"
+    )
+    idf.add_argument("--gallery", required=True)
+    idf.add_argument("images", nargs="+")
+    idf.add_argument("--top-k", type=int, default=3)
+    idf.add_argument("--min-score", type=float, default=0.0,
+                     help="cosine score below which the best match "
+                          "prints as 'unknown'")
+    idf.set_defaults(fn=cmd_identify)
 
     bn = sub.add_parser("bench", help="run the throughput benchmark")
     bn.add_argument("--batch", type=int, default=32)

@@ -61,6 +61,86 @@ def test_cli_generate_pairs_and_pack_bin(dataset, tmp_path, capsys):
     assert "packed" in captured
 
 
+class _FakeFR:
+    """Stand-in for FaceRecognition: embedding is a deterministic
+    function of the image's constant pixel value, so identity is
+    recoverable without running the real pipeline."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def face_encodings_batch(self, images):
+        images = np.asarray(images, np.float32)
+        n = images.shape[0]
+        emb = np.zeros((n, 128), np.float32)
+        for i, im in enumerate(images):
+            rng = np.random.default_rng(int(im.flat[0]))
+            e = rng.standard_normal(128).astype(np.float32)
+            emb[i] = e / np.linalg.norm(e)
+        # pixel value 0 simulates "no face found"
+        found = images.reshape(n, -1)[:, 0] > 0
+        return emb, np.zeros((n, 4), np.float32), found
+
+
+def test_cli_enroll_identify(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(
+        "deep_insight_face_tpu.api.FaceRecognition", _FakeFR
+    )
+    root = tmp_path / "ids"
+    # constant-valued images per identity; mixed sizes exercise the
+    # shape-grouped batch path
+    for name, value, size in [("Ann", 10, 16), ("Bob", 20, 16),
+                              ("Cid", 30, 12)]:
+        d = root / name
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = np.full((size, size, 3), value, np.uint8)
+            Image.fromarray(arr).save(d / f"{name}_{i:04d}.png")
+    # one identity whose images never pass the decision gate
+    d = root / "Zed"
+    d.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / "Zed_0001.png")
+
+    gal = tmp_path / "gallery.npz"
+    rc = main(["enroll", "--image-dir", str(root), "--output", str(gal)])
+    assert rc == 0 and gal.exists()
+    out = capsys.readouterr()
+    assert "enrolled 3/4 identities" in out.out
+    assert "Zed: no face detected" in out.err
+
+    q_bob = tmp_path / "query_bob.png"
+    Image.fromarray(np.full((16, 16, 3), 20, np.uint8)).save(q_bob)
+    q_none = tmp_path / "query_none.png"
+    Image.fromarray(np.zeros((12, 12, 3), np.uint8)).save(q_none)
+    rc = main(["identify", "--gallery", str(gal), str(q_bob), str(q_none),
+               "--top-k", "2", "--min-score", "0.5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].startswith(f"{q_bob}: Bob (Bob=1.000")
+    assert lines[1] == f"{q_none}: no face detected"
+
+
+def test_cli_identify_min_score_unknown(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(
+        "deep_insight_face_tpu.api.FaceRecognition", _FakeFR
+    )
+    root = tmp_path / "ids"
+    d = root / "Ann"
+    d.mkdir(parents=True)
+    Image.fromarray(np.full((16, 16, 3), 10, np.uint8)).save(d / "a.png")
+    gal = tmp_path / "gallery.npz"
+    assert main(["enroll", "--image-dir", str(root),
+                 "--output", str(gal)]) == 0
+    capsys.readouterr()
+    # an unrelated constant value → low cosine vs Ann → 'unknown'
+    q = tmp_path / "q.png"
+    Image.fromarray(np.full((16, 16, 3), 77, np.uint8)).save(q)
+    assert main(["identify", "--gallery", str(gal), str(q),
+                 "--min-score", "0.9"]) == 0
+    out = capsys.readouterr().out
+    assert f"{q}: unknown" in out
+
+
 def test_cli_train_landmarks(tmp_path):
     from deep_insight_face_tpu.training.landmark import save_landmark_npz
 
