@@ -26,9 +26,12 @@ from deep_insight_face_tpu.detector.runner import FaceDetector, to_rgb
 from deep_insight_face_tpu.models import build_embedding_model, init_embedding_params
 from deep_insight_face_tpu.models.landmark import LandmarkNet
 from deep_insight_face_tpu.ops.align import (
+    ARCFACE_TEMPLATE_112,
     INNER_EYES_AND_BOTTOM_LIP,
     MINMAX_TEMPLATE,
     align_faces,
+    five_from_68,
+    umeyama_similarity,
     warp_affine,
     affine_from_3pts,
 )
@@ -272,19 +275,45 @@ class FaceRecognition:
         out = warp_affine(jnp.asarray(image[None]), m[None], (img_dim, img_dim))
         return np.asarray(out[0], np.float32)
 
+    def align_face(
+        self,
+        image: np.ndarray,
+        landmarks: np.ndarray,
+        image_size: Optional[int] = None,
+    ) -> np.ndarray:
+        """Serving-pipeline alignment: 68-pt landmarks → 5 ArcFace points
+        → Umeyama similarity warp onto the ArcFace template — the SAME
+        geometry the fused pipeline applies (pipeline.py detect→align
+        stage) and the shipped embedder was trained on.
+
+        ``create_thumbnail`` keeps the reference's 3-point OpenFace
+        variant (api.py:132-145) for compatibility, but its crops are NOT
+        embedding-compatible with the serving path — same-identity cosine
+        across the two alignments is near zero."""
+        img_dim = image_size or self.cfg.model.image_size
+        image = to_rgb(np.asarray(image)).astype(np.float32)
+        five = five_from_68(jnp.asarray(landmarks, jnp.float32))
+        tpl = jnp.asarray(ARCFACE_TEMPLATE_112) * (img_dim / 112.0)
+        m = umeyama_similarity(five, tpl)
+        out = warp_affine(jnp.asarray(image[None]), m[None],
+                          (img_dim, img_dim))
+        return np.asarray(out[0], np.float32)
+
     def detect_and_alignment(
         self, image: np.ndarray, image_size: Optional[int] = None
     ) -> List[np.ndarray]:
         """All faces, detected and aligned to model input size
         (reference: api.py:183-195, with the disabled alignment path
-        actually working)."""
+        actually working). Uses the serving pipeline's 5-point Umeyama
+        alignment so per-image embeddings are compatible with
+        ``face_encodings_batch`` / gallery entries."""
         image_size = image_size or self.cfg.model.image_size
         image = to_rgb(np.asarray(image))
         _, boxes = self.detect_bbox(image)
         aligned = []
         for box in boxes:
             lm = self.raw_landmarks(image, np.asarray(box))
-            aligned.append(self.create_thumbnail(image, lm, image_size))
+            aligned.append(self.align_face(image, lm, image_size))
         return aligned
 
     # -- encoding -----------------------------------------------------------

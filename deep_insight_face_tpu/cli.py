@@ -255,6 +255,34 @@ def cmd_demo(args: argparse.Namespace) -> int:
     print(f"found {len(encodings)} face(s) in {dt * 1000:.1f} ms")
     for i, e in enumerate(encodings):
         print(f"  face {i}: 128-D embedding, norm {np.linalg.norm(e):.3f}")
+    if args.output:
+        from PIL import Image
+
+        from deep_insight_face_tpu.detector.utility import draw_boxes
+
+        _, boxes = fr.detect_bbox(img)
+        labels = None
+        if args.gallery and encodings:
+            from deep_insight_face_tpu.gallery import FaceGallery
+
+            g = FaceGallery.load(args.gallery)
+            names, scores = g.identify_topk(np.stack(encodings), k=1)
+            labels = [f"{n[0]} {float(s[0]):.2f}"
+                      for n, s in zip(names, scores)]
+        if boxes:
+            out = draw_boxes(
+                img, np.stack([np.asarray(b)[:4] for b in boxes]),
+                labels=labels,
+            )
+        else:
+            out = np.array(img, copy=True)
+        h, w = out.shape[:2]
+        for box in boxes:
+            for x, y in fr.raw_landmarks(img, np.asarray(box)).astype(int):
+                out[max(y - 1, 0) : min(y + 2, h),
+                    max(x - 1, 0) : min(x + 2, w)] = (255, 80, 40)
+        Image.fromarray(out).save(args.output)
+        print(f"annotated image → {args.output}")
     return 0
 
 
@@ -460,6 +488,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     d = sub.add_parser("demo", help="detect+embed faces in one image")
     d.add_argument("image")
+    d.add_argument("--output", default="",
+                   help="write an annotated copy (boxes + 68-pt landmarks)")
+    d.add_argument("--gallery", default="",
+                   help="optional gallery .npz — captions boxes with the "
+                        "best-match identity")
     d.set_defaults(fn=cmd_demo)
 
     en = sub.add_parser(

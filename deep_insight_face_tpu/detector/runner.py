@@ -113,9 +113,13 @@ class FaceDetector:
 
     # -- jitted core --------------------------------------------------------
 
-    def _core(self, orig_hw: Tuple[int, int]):
-        if orig_hw in self._jitted:
-            return self._jitted[orig_hw]
+    def _core(self, orig_hw: Tuple[int, int],
+              score_threshold: Optional[float] = None):
+        thr = (self.cfg.score_threshold if score_threshold is None
+               else float(score_threshold))
+        key = (orig_hw, thr)
+        if key in self._jitted:
+            return self._jitted[key]
         cfg = self.cfg
 
         @jax.jit
@@ -133,27 +137,61 @@ class FaceDetector:
                     b, s,
                     max_boxes=cfg.max_boxes,
                     iou_threshold=cfg.iou_threshold,
-                    score_threshold=cfg.score_threshold,
+                    score_threshold=thr,
                 )
                 ob = correct_letterbox_boxes(ob, meta, cfg.input_size, orig_hw)
                 return ob, os_, valid
 
             return jax.vmap(one)(boxes, face_scores)
 
-        self._jitted[orig_hw] = run
+        self._jitted[key] = run
         return run
 
     # -- public API ---------------------------------------------------------
 
-    def detect_batch(self, images: np.ndarray) -> List[Detections]:
-        """Detect faces on a (N, H, W, 3) uint8 batch of equal-size images."""
+    def detect_batch(
+        self, images: np.ndarray,
+        score_threshold: Optional[float] = None,
+    ) -> List[Detections]:
+        """Detect faces on a (N, H, W, 3) uint8 batch of equal-size images.
+
+        ``score_threshold`` overrides the config's NMS floor for this call
+        (each distinct value compiles once)."""
         images = np.asarray(images)
-        run = self._core(images.shape[1:3])
+        run = self._core(images.shape[1:3], score_threshold)
         boxes, scores, valid = run(self.variables, jnp.asarray(images))
         return [
             Detections(np.asarray(b), np.asarray(s), np.asarray(v))
             for b, s, v in zip(boxes, scores, valid)
         ]
+
+    def _best_gated_box(self, image: np.ndarray) -> np.ndarray:
+        """Two-threshold single-face selection, mirroring the fused
+        serving pipeline (pipeline._select_best_box): NMS down to the
+        ``candidate_threshold`` floor for recall, two-tier center-weighted
+        ranking (a candidate clearing ``decision_threshold`` beats every
+        sub-gate candidate; geometry breaks ties within a tier), and the
+        decision gate on the winner so faceless frames report no face.
+
+        Returns a (1, 4) box, or (0, 4) when nothing clears the gate."""
+        cfg = self.cfg
+        floor = min(cfg.candidate_threshold, cfg.decision_threshold)
+        det = self.detect_batch(image[None], score_threshold=floor)[0]
+        boxes = det.boxes[det.valid]
+        scores = det.scores[det.valid]
+        if boxes.shape[0] == 0:
+            return np.zeros((0, 4), np.float32)
+        h, w = image.shape[:2]
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
+        geom = areas - 2.0 * (cx**2 + cy**2)
+        tier = np.where(scores >= cfg.decision_threshold,
+                        4.0 * (float(h) ** 2 + float(w) ** 2), 0.0)
+        i = int(np.argmax(geom + tier))
+        if scores[i] < cfg.decision_threshold:
+            return np.zeros((0, 4), np.float32)
+        return boxes[i][None]
 
     def __call__(
         self,
@@ -167,12 +205,19 @@ class FaceDetector:
         Returns (cropped face images, integer boxes)."""
         margin = self.cfg.bbox_margin if margin is None else margin
         image = to_rgb(np.asarray(image))
-        det = self.detect_batch(image[None])[0]
-        boxes = det.boxes[det.valid]
+        if detect_multiple_faces:
+            det = self.detect_batch(image[None])[0]
+            boxes = det.boxes[det.valid]
+            if boxes.shape[0] == 0:
+                # nothing clears the enumeration threshold (0.4, where
+                # lower floors admit duplicate boxes) — fall back to the
+                # serving pipeline's decision-gated best candidate so a
+                # hard-pose face scoring 0.1-0.4 is still returned
+                boxes = self._best_gated_box(image)
+        else:
+            boxes = self._best_gated_box(image)
         if boxes.shape[0] == 0:
             return [], []
-        if not detect_multiple_faces and boxes.shape[0] > 1:
-            boxes = boxes[select_face(boxes, image.shape[:2])][None]
         crops, bbs = [], []
         for b in boxes:
             crop, bb = crop_with_margin(image, b, margin)

@@ -123,7 +123,8 @@ def draw_boxes(
                 if caption:
                     d.text((float(box[0]), max(float(box[1]) - 12, 0)), caption,
                            fill=tuple(color))
-            out = np.asarray(im)
+            # np.asarray(PIL) is read-only; callers draw on the result
+            out = np.array(im)
         except ImportError:
             pass
     return out

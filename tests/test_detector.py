@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from deep_insight_face_tpu.config import DetectorConfig
 from deep_insight_face_tpu.detector import decode as D
 from deep_insight_face_tpu.detector.runner import (
+    Detections,
     FaceDetector,
     crop_with_margin,
     select_face,
@@ -264,3 +265,72 @@ def test_tiny_variants_end_to_end(rng, variant, n_heads):
     assert len(crops) <= 1
     for crop, bb in zip(crops, bbs):
         assert crop.ndim == 3 and bb.shape == (4,)
+
+
+class _StubbedDetector(FaceDetector):
+    """FaceDetector with detect_batch stubbed: returns canned detections
+    keyed by the requested score_threshold, so the two-threshold
+    __call__ selection logic is testable without a network."""
+
+    def __init__(self, cfg, by_threshold):
+        self.cfg = cfg
+        self._by_threshold = by_threshold
+
+    def detect_batch(self, images, score_threshold=None):
+        thr = (self.cfg.score_threshold if score_threshold is None
+               else float(score_threshold))
+        boxes, scores = self._by_threshold[thr]
+        valid = np.ones(len(boxes), bool)
+        return [Detections(np.asarray(boxes, np.float32),
+                           np.asarray(scores, np.float32), valid)]
+
+
+def _mk_two_threshold_cfg():
+    from deep_insight_face_tpu.config import DetectorConfig
+
+    return DetectorConfig(score_threshold=0.4, candidate_threshold=0.02,
+                          decision_threshold=0.1)
+
+
+def test_call_two_threshold_fallback_finds_subenumeration_face():
+    """A face scoring between decision (0.1) and enumeration (0.4)
+    thresholds must still be returned by __call__ — the serving
+    pipeline's two-threshold semantics (pipeline._select_best_box)."""
+    cfg = _mk_two_threshold_cfg()
+    face = [30.0, 30.0, 70.0, 70.0]
+    det = _StubbedDetector(cfg, {
+        0.4: (np.zeros((0, 4)), np.zeros((0,))),       # enumeration: none
+        0.02: (np.array([face]), np.array([0.25])),    # candidate floor
+    })
+    img = np.zeros((100, 100, 3), np.uint8)
+    for multi in (False, True):
+        crops, bbs = det(img, detect_multiple_faces=multi)
+        assert len(bbs) == 1
+        assert bbs[0][0] <= face[0] and bbs[0][2] >= face[2]  # margin crop
+
+
+def test_call_decision_gate_rejects_subgate_candidates():
+    """Candidates below decision_threshold must NOT produce a face
+    (faceless-frame precision)."""
+    cfg = _mk_two_threshold_cfg()
+    det = _StubbedDetector(cfg, {
+        0.4: (np.zeros((0, 4)), np.zeros((0,))),
+        0.02: (np.array([[30.0, 30.0, 70.0, 70.0]]), np.array([0.05])),
+    })
+    crops, bbs = det(np.zeros((100, 100, 3), np.uint8))
+    assert crops == [] and bbs == []
+
+
+def test_call_two_tier_rank_prefers_confident_offcenter_face():
+    """A centered low-score clutter box admitted by the candidate floor
+    must not outrank an off-center confident face."""
+    cfg = _mk_two_threshold_cfg()
+    clutter = [40.0, 40.0, 60.0, 60.0]   # centered, score 0.03
+    face = [0.0, 0.0, 30.0, 30.0]        # corner, score 0.9
+    det = _StubbedDetector(cfg, {
+        0.4: (np.zeros((0, 4)), np.zeros((0,))),
+        0.02: (np.array([clutter, face]), np.array([0.03, 0.9])),
+    })
+    _, bbs = det(np.zeros((100, 100, 3), np.uint8))
+    assert len(bbs) == 1
+    assert bbs[0][2] <= face[2] + cfg.bbox_margin + 1  # picked the face

@@ -86,3 +86,30 @@ def test_shipped_pipeline_quality_gate():
         f"EER {float(report.eer):.3f})"
     )
     assert auc >= MIN_AUC, f"e2e AUC {auc:.3f} < {MIN_AUC}"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not _has_all_weights(), reason="shipped weights absent")
+def test_per_image_api_matches_batch_pipeline():
+    """Cross-path consistency: `face_encodings` (per-image detect →
+    landmark → Umeyama align → embed) must produce embeddings compatible
+    with `face_encodings_batch` (the fused serving pipeline) on the SAME
+    frame — a gallery enrolled through one path must be identifiable
+    through the other. Regression for the 3-point-OpenFace-vs-Umeyama
+    alignment split (same-identity cross-path cosine was 0.17)."""
+    from deep_insight_face_tpu.api import FaceRecognition
+    from deep_insight_face_tpu.data.synthetic import identity_scenes
+
+    fr = FaceRecognition()
+    imgs, _ = identity_scenes(2, 1, size=416, seed=11,
+                              id_offset=31_000_000)
+    batch_emb, _, found = fr.face_encodings_batch(imgs)
+    assert found.all()
+    for i, img in enumerate(imgs):
+        per_image = fr.face_encodings(img)
+        assert per_image, f"per-image path found no face in frame {i}"
+        cos = float(per_image[0] @ batch_emb[i])
+        assert cos >= 0.8, (
+            f"frame {i}: per-image vs batch embedding cosine {cos:.3f} — "
+            f"the two alignment paths have diverged"
+        )
