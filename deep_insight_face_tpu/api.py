@@ -292,7 +292,17 @@ class FaceRecognition:
         across the two alignments is near zero."""
         img_dim = image_size or self.cfg.model.image_size
         image = to_rgb(np.asarray(image)).astype(np.float32)
-        five = five_from_68(jnp.asarray(landmarks, jnp.float32))
+        landmarks = np.asarray(landmarks, np.float32)
+        if landmarks.shape[-2:] == (68, 2):
+            five = five_from_68(jnp.asarray(landmarks))
+        elif landmarks.shape[-2:] == (5, 2):
+            five = jnp.asarray(landmarks)  # already ArcFace 5-point
+        else:
+            raise ValueError(
+                f"align_face expects (68, 2) or (5, 2) landmarks, got "
+                f"{landmarks.shape} (out-of-range indexing would clamp "
+                f"silently and warp garbage)"
+            )
         tpl = jnp.asarray(ARCFACE_TEMPLATE_112) * (img_dim / 112.0)
         m = umeyama_similarity(five, tpl)
         out = warp_affine(jnp.asarray(image[None]), m[None],

@@ -250,25 +250,34 @@ def cmd_demo(args: argparse.Namespace) -> int:
     fr = FaceRecognition()
     img = load_image(args.image)
     t0 = time.perf_counter()
-    encodings = fr.face_encodings(img)
+    # one detector pass; landmarks/crops/encodings all derive from it
+    _, boxes = fr.detect_bbox(img)
+    landmarks = [fr.raw_landmarks(img, np.asarray(b)) for b in boxes]
+    crops = [fr.align_face(img, lm) for lm in landmarks]
+    encodings = list(fr.encode_crops(np.stack(crops))) if crops else []
     dt = time.perf_counter() - t0
     print(f"found {len(encodings)} face(s) in {dt * 1000:.1f} ms")
+    labels = None
+    if args.gallery and encodings:
+        from deep_insight_face_tpu.gallery import FaceGallery
+
+        g = FaceGallery.load(args.gallery)
+        if len(g) == 0:
+            print("gallery is empty — skipping identification",
+                  file=sys.stderr)
+        else:
+            names, scores = g.identify_topk(np.stack(encodings), k=1)
+            labels = [f"{n[0]} {float(s[0]):.2f}"
+                      for n, s in zip(names, scores)]
     for i, e in enumerate(encodings):
-        print(f"  face {i}: 128-D embedding, norm {np.linalg.norm(e):.3f}")
+        who = f" — {labels[i]}" if labels else ""
+        print(f"  face {i}: 128-D embedding, "
+              f"norm {np.linalg.norm(e):.3f}{who}")
     if args.output:
         from PIL import Image
 
         from deep_insight_face_tpu.detector.utility import draw_boxes
 
-        _, boxes = fr.detect_bbox(img)
-        labels = None
-        if args.gallery and encodings:
-            from deep_insight_face_tpu.gallery import FaceGallery
-
-            g = FaceGallery.load(args.gallery)
-            names, scores = g.identify_topk(np.stack(encodings), k=1)
-            labels = [f"{n[0]} {float(s[0]):.2f}"
-                      for n, s in zip(names, scores)]
         if boxes:
             out = draw_boxes(
                 img, np.stack([np.asarray(b)[:4] for b in boxes]),
@@ -277,8 +286,8 @@ def cmd_demo(args: argparse.Namespace) -> int:
         else:
             out = np.array(img, copy=True)
         h, w = out.shape[:2]
-        for box in boxes:
-            for x, y in fr.raw_landmarks(img, np.asarray(box)).astype(int):
+        for pts in landmarks:
+            for x, y in pts.astype(int):
                 out[max(y - 1, 0) : min(y + 2, h),
                     max(x - 1, 0) : min(x + 2, w)] = (255, 80, 40)
         Image.fromarray(out).save(args.output)
@@ -286,16 +295,27 @@ def cmd_demo(args: argparse.Namespace) -> int:
     return 0
 
 
-def _encode_paths(fr, paths: List[str]):
-    """Decode ``paths``, group frames by (H, W) so each distinct shape
-    compiles exactly one fused program, and run the batch pipeline per
-    group. Returns (embeddings (N, D) float32, found (N,) bool) aligned
-    with ``paths``."""
+def _encode_paths(fr, paths: List[str], native_resolution: bool = False):
+    """Decode ``paths`` and run the fused batch pipeline over them.
+
+    By default every frame is host-letterboxed to ONE canonical square
+    (the detector's input size — where the pipeline would resample it
+    anyway), so the whole tree costs a single compile. With
+    ``native_resolution`` frames keep their decoded sizes and are grouped
+    by (H, W) — each distinct shape compiles its own program (5-60 s per
+    shape on the TPU toolchain), worth it only when faces are small
+    relative to high-resolution frames and crop detail matters.
+
+    Returns (embeddings (N, D) float32, found (N,) bool) aligned with
+    ``paths``."""
     import numpy as np
 
-    from deep_insight_face_tpu.data.dataset import load_image
+    from deep_insight_face_tpu.data.dataset import letterbox_image, load_image
 
     frames = [load_image(p) for p in paths]
+    if not native_resolution:
+        size = fr.cfg.detector.input_size
+        frames = [letterbox_image(f, size) for f in frames]
     groups: dict = {}
     for i, f in enumerate(frames):
         groups.setdefault(f.shape[:2], []).append(i)
@@ -333,7 +353,7 @@ def cmd_enroll(args: argparse.Namespace) -> int:
     for c in classes:
         paths.extend(c.image_paths)
         owner.extend([c.name] * len(c.image_paths))
-    emb, found = _encode_paths(fr, paths)
+    emb, found = _encode_paths(fr, paths, args.native_resolution)
     owner_arr = np.array(owner)
     names: List[str] = []
     vecs: List[np.ndarray] = []
@@ -374,7 +394,8 @@ def cmd_identify(args: argparse.Namespace) -> int:
         print("gallery is empty", file=sys.stderr)
         return 1
     fr = FaceRecognition()
-    emb, found = _encode_paths(fr, args.images)
+    emb, found = _encode_paths(fr, args.images,
+                                args.native_resolution)
     k = max(1, min(args.top_k, len(gallery)))
     names, scores = gallery.identify_topk(emb, k=k)
     for path, fnd, row_names, row_scores in zip(
@@ -504,6 +525,10 @@ def build_parser() -> argparse.ArgumentParser:
     en.add_argument("--keep-undetected", action="store_true",
                     help="enroll best-effort crops even when no face "
                          "passed the decision gate")
+    en.add_argument("--native-resolution", action="store_true",
+                    help="keep decoded frame sizes (one compile per "
+                         "distinct shape) instead of letterboxing to "
+                         "the detector input size")
     en.set_defaults(fn=cmd_enroll)
 
     idf = sub.add_parser(
@@ -515,6 +540,10 @@ def build_parser() -> argparse.ArgumentParser:
     idf.add_argument("--min-score", type=float, default=0.0,
                      help="cosine score below which the best match "
                           "prints as 'unknown'")
+    idf.add_argument("--native-resolution", action="store_true",
+                     help="keep decoded frame sizes (one compile per "
+                          "distinct shape) instead of letterboxing to "
+                          "the detector input size")
     idf.set_defaults(fn=cmd_identify)
 
     bn = sub.add_parser("bench", help="run the throughput benchmark")

@@ -64,6 +64,37 @@ def load_image(
         return np.asarray(im, dtype=np.uint8)
 
 
+def letterbox_image(
+    img: np.ndarray, size: int, pad_value: int = 128
+) -> np.ndarray:
+    """Host-side aspect-preserving resize + center pad to a (size, size)
+    uint8 square — same convention as the device `ops.image.letterbox`
+    (scale to fit, gray pad; reference: detector/yolov3.py:108-119).
+
+    Used to stage arbitrarily-sized photo trees into ONE canonical shape
+    so the fused pipeline compiles exactly once instead of once per
+    distinct resolution."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    if h == w == size:
+        return np.asarray(img, np.uint8)
+    scale = min(size / h, size / w)
+    nh = max(int(round(h * scale)), 1)
+    nw = max(int(round(w * scale)), 1)
+    resized = np.asarray(
+        Image.fromarray(np.asarray(img, np.uint8)).resize(
+            (nw, nh), Image.BILINEAR
+        ),
+        np.uint8,
+    )
+    out = np.full((size, size, 3), pad_value, np.uint8)
+    top, left = (size - nh) // 2, (size - nw) // 2
+    out[top : top + nh, left : left + nw] = resized
+    return out
+
+
 class ImageLoader:
     """Thread-pool batch decoder (the host half of the input pipeline).
 

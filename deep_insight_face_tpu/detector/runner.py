@@ -174,6 +174,8 @@ class FaceDetector:
         decision gate on the winner so faceless frames report no face.
 
         Returns a (1, 4) box, or (0, 4) when nothing clears the gate."""
+        from deep_insight_face_tpu.detector.utility import two_tier_quality
+
         cfg = self.cfg
         floor = min(cfg.candidate_threshold, cfg.decision_threshold)
         det = self.detect_batch(image[None], score_threshold=floor)[0]
@@ -181,14 +183,11 @@ class FaceDetector:
         scores = det.scores[det.valid]
         if boxes.shape[0] == 0:
             return np.zeros((0, 4), np.float32)
-        h, w = image.shape[:2]
-        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-        cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
-        cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
-        geom = areas - 2.0 * (cx**2 + cy**2)
-        tier = np.where(scores >= cfg.decision_threshold,
-                        4.0 * (float(h) ** 2 + float(w) ** 2), 0.0)
-        i = int(np.argmax(geom + tier))
+        quality = two_tier_quality(
+            boxes, scores, np.ones(len(boxes), bool), image.shape[:2],
+            cfg.decision_threshold, xp=np,
+        )
+        i = int(np.argmax(quality))
         if scores[i] < cfg.decision_threshold:
             return np.zeros((0, 4), np.float32)
         return boxes[i][None]

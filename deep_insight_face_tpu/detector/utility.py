@@ -27,6 +27,36 @@ def bbox_iou_numpy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-12)
 
 
+def two_tier_quality(boxes, scores, valid, image_hw, decision_threshold,
+                     xp=np):
+    """Quality vector for the serving two-threshold best-face selection —
+    the ONE source of truth shared by the fused pipeline
+    (pipeline._select_best_box) and the per-image API
+    (runner.FaceDetector._best_gated_box), so the operating point can
+    never drift between the two paths again.
+
+    Center-weighted geometry (area − 2·center_offset², facenet-style,
+    reference: detector/run.py:42-61) plus a two-tier bump: any candidate
+    clearing ``decision_threshold`` outranks every sub-gate candidate —
+    a centered low-score clutter box admitted by the candidate floor must
+    never beat a confident off-center face. The bump 4·(h²+w²) clears the
+    geometry range (|geom| ≤ max(h·w, (h²+w²)/2)) while keeping float32
+    addition precise enough for sub-pixel tie-breaks within a tier
+    (a constant like 1e9 would quantize geom to ulp(1e9)=64, erasing
+    area differences under 64 px²; 4·(h²+w²) has ulp ≈ 0.125 at 416²).
+
+    ``xp`` is the array namespace (numpy on the host path, jax.numpy
+    inside the jitted pipeline). Invalid rows score −inf."""
+    h, w = image_hw
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
+    geom = areas - 2.0 * (cx**2 + cy**2)
+    bump = 4.0 * (float(h) ** 2 + float(w) ** 2)
+    tier = xp.where(scores >= decision_threshold, bump, 0.0)
+    return xp.where(valid, geom + tier, -xp.inf)
+
+
 def compute_ap(recall: np.ndarray, precision: np.ndarray) -> float:
     """Area under the interpolated PR curve (VOC-style all-points AP,
     reference: detector/utility.py:309-334)."""

@@ -24,6 +24,7 @@ from deep_insight_face_tpu.detector.decode import (
     correct_letterbox_boxes,
     decode_detections,
 )
+from deep_insight_face_tpu.detector.utility import two_tier_quality
 from deep_insight_face_tpu.models.embedding import EmbeddingModel
 from deep_insight_face_tpu.models.yolov3 import (
     TINY_ANCHOR_MASKS,
@@ -87,26 +88,10 @@ def _select_best_box(boxes, scores, valid, image_hw, decision_threshold):
     ``found`` still reports the miss honestly.
     """
     h, w = image_hw
-    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
-    cx = (boxes[:, 0] + boxes[:, 2]) / 2 - w / 2
-    cy = (boxes[:, 1] + boxes[:, 3]) / 2 - h / 2
-    geom = areas - 2.0 * (cx**2 + cy**2)
-    # two-tier ranking: any candidate clearing the decision gate beats
-    # every sub-gate candidate, with geometry breaking ties WITHIN a
-    # tier — a centered low-score clutter box admitted by the candidate
-    # floor must never outrank a confident off-center face (geometry
-    # alone would let it: a centered 100² box at score 0.03 scores
-    # higher than a 120² face 100 px off-center at 0.9)
-    confident = scores >= decision_threshold
-    # The tier bump must clear the geometry range (|geom| <= max(h*w,
-    # (h²+w²)/2)) but stay small enough that float32 addition keeps
-    # sub-pixel tie-break precision: a constant like 1e9 would quantize
-    # geom to ulp(1e9)=64, erasing area differences under 64 px²
-    # between two confident candidates. 4·(h²+w²) separates the tiers
-    # with ulp ≈ 0.125 at 416².
-    bump = jnp.float32(4.0 * (float(h) ** 2 + float(w) ** 2))
-    tier = jnp.where(confident, bump, 0.0)
-    quality = jnp.where(valid, geom + tier, -jnp.inf)
+    # two-tier ranking shared with the per-image API path — see
+    # detector.utility.two_tier_quality for the geometry + bump rationale
+    quality = two_tier_quality(boxes, scores, valid, (h, w),
+                               decision_threshold, xp=jnp)
     i = jnp.argmax(quality)
     has_candidate = valid[i]
     found = has_candidate & (scores[i] >= decision_threshold)

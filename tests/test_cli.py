@@ -67,7 +67,10 @@ class _FakeFR:
     recoverable without running the real pipeline."""
 
     def __init__(self, *a, **k):
-        pass
+        from types import SimpleNamespace
+
+        # _encode_paths letterboxes to the detector input size by default
+        self.cfg = SimpleNamespace(detector=SimpleNamespace(input_size=32))
 
     def face_encodings_batch(self, images):
         images = np.asarray(images, np.float32)
@@ -155,3 +158,17 @@ def test_cli_train_landmarks(tmp_path):
         "--batch-size", "4", "--output", str(out),
     ])
     assert rc == 0 and out.exists()
+
+
+def test_letterbox_image():
+    from deep_insight_face_tpu.data.dataset import letterbox_image
+
+    img = np.full((20, 40, 3), 200, np.uint8)
+    out = letterbox_image(img, 32)
+    assert out.shape == (32, 32, 3)
+    assert (out[16] == 200).all()      # content band (rows 8..23)
+    assert (out[0] == 128).all()       # gray pad, same value as device path
+    same = letterbox_image(np.full((32, 32, 3), 7, np.uint8), 32)
+    assert (same == 7).all()           # square passthrough
+    g = letterbox_image(np.zeros((10, 10), np.uint8), 32)
+    assert g.shape == (32, 32, 3)      # grayscale promoted
