@@ -403,6 +403,63 @@ class FaceRecognition:
             np.asarray(out.found),
         )
 
+    def face_encodings_batch_multi(self, images: np.ndarray):
+        """All-faces batch path: ONE fused program embedding every NMS
+        survivor (up to ``detector.max_boxes`` per frame), with the same
+        landmark alignment — and therefore gallery-compatible
+        embeddings — as the single-face serving path. Returns
+        (embeddings (N, max_boxes, D), boxes (N, max_boxes, 4),
+        scores (N, max_boxes), valid (N, max_boxes) bool); mask with
+        ``valid``. Crowd-frame equivalent of `face_encodings_batch`.
+        """
+        from deep_insight_face_tpu.pipeline import build_multiface_pipeline
+
+        images = np.asarray(images)
+        use_lm = self._landmark_variables is not None
+        key = ("multiface", images.shape[1:3], use_lm)
+        if not hasattr(self, "_pipelines"):
+            self._pipelines = {}
+        if key not in self._pipelines:
+            build_kw = dict(
+                align="landmark" if use_lm else "box",
+                landmark_model=self.landmark_model if use_lm else None,
+            )
+            if self.mesh is not None:
+                from deep_insight_face_tpu.parallel.serve import (
+                    build_sharded_pipeline,
+                )
+
+                self._pipelines[key] = build_sharded_pipeline(
+                    self.cfg, self.model, self.mesh,
+                    detector_model=self.detector.model, multiface=True,
+                    **build_kw,
+                )
+            else:
+                self._pipelines[key] = build_multiface_pipeline(
+                    self.cfg, self.model, self.detector.model, **build_kw,
+                )
+        if self.mesh is not None:
+            from deep_insight_face_tpu.parallel.serve import shard_frames
+
+            frames = shard_frames(images, self.mesh)
+        else:
+            frames = jnp.asarray(images)
+        if use_lm:
+            out = self._pipelines[key](
+                self.detector.variables, self._landmark_variables,
+                self.embed_variables, frames,
+            )
+        else:
+            out = self._pipelines[key](
+                self.detector.variables, self.embed_variables, frames,
+            )
+        return (
+            np.asarray(out.embeddings),
+            np.asarray(out.boxes),
+            np.asarray(out.scores),
+            np.asarray(out.valid),
+        )
+
     # -- gallery verification ------------------------------------------------
 
     def verify_identity(

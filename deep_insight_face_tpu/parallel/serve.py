@@ -57,12 +57,12 @@ def build_sharded_pipeline(
     if interp_dtype is not None:
         kwargs["interp_dtype"] = interp_dtype
     if multiface:
-        if align != "box":
-            raise ValueError("multiface pipeline has no landmark mode")
         run = build_multiface_pipeline(
-            cfg, embed_model, detector_model, jit=False, **kwargs
+            cfg, embed_model, detector_model, jit=False, align=align,
+            landmark_model=landmark_model, landmark_size=landmark_size,
+            **kwargs
         )
-        n_var_args = 2
+        n_var_args = 3 if align == "landmark" else 2
     else:
         run = build_pipeline(
             cfg, embed_model, detector_model, jit=False, align=align,

@@ -312,12 +312,23 @@ def build_multiface_pipeline(
     jit: bool = True,
     frame_dtype=jnp.float32,
     interp_dtype=jnp.int8,
+    align: str = "box",
+    landmark_model=None,
+    landmark_size: int = 112,
 ):
     """All-faces variant: embeds every valid detection (up to
     ``detector.max_boxes`` per image) instead of the single best face —
     the serving path behind api.face_encodings for crowd frames
     (reference intent: detect_multiple_faces=True, detector/run.py:146).
     Invalid slots embed a zero crop; mask with ``valid``.
+
+    ``align="landmark"`` runs the SAME landmark stage as the single-face
+    pipeline on every box slot (crop → LandmarkNet → Umeyama similarity →
+    MXU warp), flattened to N·max_boxes static shapes, so crowd-frame
+    embeddings carry the full serving quality and stay gallery-compatible.
+    Returns fn(detector_vars, landmark_vars, embed_vars, images); cost
+    scales with max_boxes — size ``DetectorConfig.max_boxes`` to the
+    expected crowd, not the default 20, when throughput matters.
     """
     det_cfg = cfg.detector
     if detector_model is None:
@@ -328,13 +339,22 @@ def build_multiface_pipeline(
             if isinstance(detector_model, TINY_FAMILY)
             else det_cfg.anchor_masks
         )
+    if align == "landmark" and landmark_model is None:
+        from deep_insight_face_tpu.models.landmark import LandmarkNet
+
+        landmark_model = LandmarkNet()
+    if align not in ("box", "landmark"):
+        raise ValueError(f"unknown align mode {align!r}")
     anchors = jnp.asarray(np.array(det_cfg.anchors, np.float32))
     out_size = cfg.model.image_size
+    ls = landmark_size
+    tpl_dst = jnp.asarray(ARCFACE_TEMPLATE_112) * (out_size / 112.0)
     mb = det_cfg.max_boxes
 
-    def run(detector_vars, embed_vars, images) -> MultiFaceOutput:
-        n, h, w, _ = images.shape
-        x = images.astype(frame_dtype)
+    def detect_all(detector_vars, x, h, w):
+        """Shared detection head: (boxes (N, mb, 4), scores, valid,
+        margin-expanded boxes flattened to (N·mb, 4), frames repeated
+        per box slot)."""
         boxed, meta = letterbox(x, det_cfg.input_size)
         heads = detector_model.apply(detector_vars, boxed / 255.0, train=False)
         raw_boxes, raw_scores = decode_detections(
@@ -353,7 +373,6 @@ def build_multiface_pipeline(
                 bx, meta, det_cfg.input_size, (h, w)
             )
         )(ob)
-        scores = os_
 
         m = float(det_cfg.bbox_margin)
         expanded = jnp.stack(
@@ -367,9 +386,16 @@ def build_multiface_pipeline(
         )  # (N, mb, 4)
         # flatten faces: repeat each image for its box slots
         imgs_rep = jnp.repeat(x, mb, axis=0)  # (N·mb, H, W, C)
+        return boxes, os_, valid, expanded.reshape(-1, 4), imgs_rep
+
+    def run(detector_vars, embed_vars, images) -> MultiFaceOutput:
+        n, h, w, _ = images.shape
+        x = images.astype(frame_dtype)
+        boxes, scores, valid, flat_boxes, imgs_rep = detect_all(
+            detector_vars, x, h, w
+        )
         crops = crop_resize_boxes(
-            imgs_rep, expanded.reshape(-1, 4), (out_size, out_size),
-            dtype=interp_dtype,
+            imgs_rep, flat_boxes, (out_size, out_size), dtype=interp_dtype
         )
         emb = embed_model.apply(
             embed_vars, preprocess(crops, cfg.data.preprocess_mode), train=False
@@ -381,7 +407,39 @@ def build_multiface_pipeline(
             valid=valid,
         )
 
-    return jax.jit(run) if jit else run
+    def run_lm(
+        detector_vars, landmark_vars, embed_vars, images
+    ) -> MultiFaceOutput:
+        n, h, w, _ = images.shape
+        x = images.astype(frame_dtype)
+        boxes, scores, valid, flat_boxes, imgs_rep = detect_all(
+            detector_vars, x, h, w
+        )
+        # identical landmark stage to build_pipeline's aligned_crops,
+        # over N·mb flattened slots: crop → LandmarkNet → 5 points →
+        # Umeyama similarity → MXU two-pass warp
+        crops = crop_resize_boxes(imgs_rep, flat_boxes, (ls, ls),
+                                  dtype=interp_dtype)
+        lm = landmark_model.apply(
+            landmark_vars, preprocess(crops, "tf"), train=False
+        )
+        five = five_from_68(lm) * ls
+        mats = jax.vmap(lambda f: umeyama_similarity(f, tpl_dst))(five)
+        aligned = warp_affine_mxu(crops, mats, (out_size, out_size),
+                                  dtype=interp_dtype)
+        emb = embed_model.apply(
+            embed_vars, preprocess(aligned, cfg.data.preprocess_mode),
+            train=False,
+        )
+        return MultiFaceOutput(
+            embeddings=emb.reshape(n, mb, -1),
+            boxes=boxes,
+            scores=scores,
+            valid=valid,
+        )
+
+    fn = run_lm if align == "landmark" else run
+    return jax.jit(fn) if jit else fn
 
 
 def build_benchmark_fn(

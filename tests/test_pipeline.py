@@ -123,6 +123,33 @@ def test_multiface_pipeline(small_cfg, pipeline_setup, rng):
     assert np.isfinite(np.asarray(out.embeddings)).all()
 
 
+def test_multiface_landmark_pipeline(small_cfg, pipeline_setup, rng):
+    """Landmark-aligned multiface path: every box slot goes through the
+    SAME crop → LandmarkNet → Umeyama → MXU-warp stage as the single-face
+    pipeline, so crowd embeddings stay gallery-compatible."""
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+    from deep_insight_face_tpu.pipeline import build_multiface_pipeline
+
+    em, ev, dm, dv = pipeline_setup
+    lm_model = LandmarkNet(width=0.25, dtype=jnp.float32)
+    lv = lm_model.init(jax.random.key(2), jnp.zeros((1, 48, 48, 3)))
+    run = build_multiface_pipeline(
+        small_cfg, em, dm, align="landmark", landmark_model=lm_model,
+        landmark_size=48,
+    )
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 96, 96, 3), dtype=np.uint8))
+    out = run(dv, lv, ev, imgs)
+    mb = small_cfg.detector.max_boxes
+    assert out.embeddings.shape == (2, mb, 16)
+    assert out.boxes.shape == (2, mb, 4)
+    assert np.isfinite(np.asarray(out.embeddings)).all()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out.embeddings), axis=2), 1.0, atol=1e-4
+    )
+    with pytest.raises(ValueError):
+        build_multiface_pipeline(small_cfg, em, dm, align="nope")
+
+
 def test_tiny_s2d_variant(rng):
     from deep_insight_face_tpu.models.yolov3 import YoloV3Tiny
 

@@ -125,6 +125,35 @@ def test_sharded_multiface(small_cfg, setup, rng):
     assert (np.asarray(out_s.valid) == np.asarray(out_1.valid)).all()
 
 
+def test_sharded_multiface_landmark(small_cfg, setup, rng):
+    from deep_insight_face_tpu.models.landmark import LandmarkNet
+
+    em, ev, dm, dv = setup
+    lm_model = LandmarkNet(width=0.25, dtype=jnp.float32)
+    lv = lm_model.init(jax.random.key(2), jnp.zeros((1, 48, 48, 3)))
+    mesh = create_mesh()
+    sharded = build_sharded_pipeline(
+        small_cfg, em, mesh, detector_model=dm, multiface=True,
+        align="landmark", landmark_model=lm_model, landmark_size=48,
+    )
+    single = build_multiface_pipeline(
+        small_cfg, em, dm, align="landmark", landmark_model=lm_model,
+        landmark_size=48,
+    )
+    imgs = _frames(rng)
+    out_s = sharded(dv, lv, ev, shard_frames(imgs, mesh))
+    out_1 = single(dv, lv, ev, imgs)
+    assert out_s.embeddings.shape == out_1.embeddings.shape
+    # direction comparison (see test_sharded_landmark_align for why)
+    e_s = np.asarray(out_s.embeddings, dtype=np.float64)
+    e_1 = np.asarray(out_1.embeddings, dtype=np.float64)
+    cos = (e_s * e_1).sum(-1) / (
+        np.linalg.norm(e_s, axis=-1) * np.linalg.norm(e_1, axis=-1)
+    )
+    assert cos.min() > 0.99999, cos.min()
+    assert (np.asarray(out_s.valid) == np.asarray(out_1.valid)).all()
+
+
 def test_sharded_pipeline_feeds_sharded_gallery(small_cfg, setup, rng):
     """Device-to-device serving: pipeline embeddings (sharded over data)
     flow straight into FaceGallery(mesh=…).identify — queries already
