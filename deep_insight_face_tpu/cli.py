@@ -384,9 +384,14 @@ def cmd_enroll(args: argparse.Namespace) -> int:
 
 
 def cmd_identify(args: argparse.Namespace) -> int:
-    """Identify the best face in each image against a saved gallery
-    (top-k names + cosine scores; 'unknown' below --min-score)."""
+    """Identify faces in each image against a saved gallery (top-k names
+    + cosine scores; 'unknown' below --min-score). Default: the best face
+    per image; --all-faces runs the fused multiface pipeline and reports
+    every detection above the enumeration threshold."""
+    import numpy as np
+
     from deep_insight_face_tpu.api import FaceRecognition
+    from deep_insight_face_tpu.data.dataset import letterbox_image, load_image
     from deep_insight_face_tpu.gallery import FaceGallery
 
     gallery = FaceGallery.load(args.gallery)
@@ -394,9 +399,59 @@ def cmd_identify(args: argparse.Namespace) -> int:
         print("gallery is empty", file=sys.stderr)
         return 1
     fr = FaceRecognition()
+    k = max(1, min(args.top_k, len(gallery)))
+
+    def topline(row_names, row_scores):
+        best = (row_names[0] if float(row_scores[0]) >= args.min_score
+                else "unknown")
+        detail = ", ".join(
+            f"{n}={float(s):.3f}" for n, s in zip(row_names, row_scores)
+        )
+        return f"{best} ({detail})"
+
+    if args.all_faces:
+        frames = [load_image(p) for p in args.images]
+        if not args.native_resolution:
+            size = fr.cfg.detector.input_size
+            frames = [letterbox_image(f, size) for f in frames]
+        groups: dict = {}
+        for i, f in enumerate(frames):
+            groups.setdefault(f.shape[:2], []).append(i)
+        misses: List[int] = []
+        for idx in groups.values():
+            emb, boxes, _, valid = fr.face_encodings_batch_multi(
+                np.stack([frames[i] for i in idx])
+            )
+            for row, i in enumerate(idx):
+                path = args.images[i]
+                slots = np.flatnonzero(valid[row])
+                if slots.size == 0:
+                    # enumeration found nothing at the multiface
+                    # threshold — fall back to the decision-gated
+                    # single-best-face path (same semantics as
+                    # FaceDetector.__call__), so --all-faces is never
+                    # worse than the default mode
+                    misses.append(i)
+                    continue
+                names, scores = gallery.identify_topk(emb[row, slots], k=k)
+                for j, s in enumerate(slots):
+                    b = boxes[row, s].astype(int)
+                    print(f"{path}: face {j} @[{b[0]},{b[1]},{b[2]},{b[3]}]"
+                          f": {topline(names[j], scores[j])}")
+        if misses:
+            miss_paths = [args.images[i] for i in misses]
+            emb, found = _encode_paths(fr, miss_paths,
+                                       args.native_resolution)
+            names, scores = gallery.identify_topk(emb, k=k)
+            for path, fnd, rn, rs in zip(miss_paths, found, names, scores):
+                if not fnd:
+                    print(f"{path}: no face detected")
+                else:
+                    print(f"{path}: {topline(rn, rs)}")
+        return 0
+
     emb, found = _encode_paths(fr, args.images,
                                 args.native_resolution)
-    k = max(1, min(args.top_k, len(gallery)))
     names, scores = gallery.identify_topk(emb, k=k)
     for path, fnd, row_names, row_scores in zip(
         args.images, found, names, scores
@@ -404,12 +459,7 @@ def cmd_identify(args: argparse.Namespace) -> int:
         if not fnd:
             print(f"{path}: no face detected")
             continue
-        best = (row_names[0] if float(row_scores[0]) >= args.min_score
-                else "unknown")
-        detail = ", ".join(
-            f"{n}={float(s):.3f}" for n, s in zip(row_names, row_scores)
-        )
-        print(f"{path}: {best} ({detail})")
+        print(f"{path}: {topline(row_names, row_scores)}")
     return 0
 
 
@@ -544,6 +594,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="keep decoded frame sizes (one compile per "
                           "distinct shape) instead of letterboxing to "
                           "the detector input size")
+    idf.add_argument("--all-faces", action="store_true",
+                     help="identify every detected face per image "
+                          "(fused multiface pipeline) instead of the "
+                          "single best face")
     idf.set_defaults(fn=cmd_identify)
 
     bn = sub.add_parser("bench", help="run the throughput benchmark")

@@ -84,6 +84,17 @@ class _FakeFR:
         found = images.reshape(n, -1)[:, 0] > 0
         return emb, np.zeros((n, 4), np.float32), found
 
+    def face_encodings_batch_multi(self, images):
+        emb1, _, found = self.face_encodings_batch(images)
+        n = len(images)
+        mb = 4
+        emb = np.zeros((n, mb, 128), np.float32)
+        emb[:, 0] = emb1
+        valid = np.zeros((n, mb), bool)
+        valid[:, 0] = found
+        boxes = np.zeros((n, mb, 4), np.float32)
+        return emb, boxes, valid.astype(np.float32), valid
+
 
 def test_cli_enroll_identify(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(
@@ -120,6 +131,13 @@ def test_cli_enroll_identify(tmp_path, monkeypatch, capsys):
     assert rc == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert lines[0].startswith(f"{q_bob}: Bob (Bob=1.000")
+    assert lines[1] == f"{q_none}: no face detected"
+
+    rc = main(["identify", "--gallery", str(gal), str(q_bob), str(q_none),
+               "--all-faces", "--min-score", "0.5"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0].startswith(f"{q_bob}: face 0 @[0,0,0,0]: Bob (Bob=1.000")
     assert lines[1] == f"{q_none}: no face detected"
 
 
