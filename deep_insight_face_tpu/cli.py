@@ -306,11 +306,16 @@ def _encode_paths(fr, paths: List[str], native_resolution: bool = False):
     shape on the TPU toolchain), worth it only when faces are small
     relative to high-resolution frames and crop detail matters.
 
+    Each group streams through `utils.batching.batched_apply` in
+    fixed-size device batches (tail padded), so arbitrarily large trees
+    cost ONE compile per shape and bounded device memory.
+
     Returns (embeddings (N, D) float32, found (N,) bool) aligned with
     ``paths``."""
     import numpy as np
 
     from deep_insight_face_tpu.data.dataset import letterbox_image, load_image
+    from deep_insight_face_tpu.utils.batching import batched_apply
 
     frames = [load_image(p) for p in paths]
     if not native_resolution:
@@ -322,8 +327,10 @@ def _encode_paths(fr, paths: List[str], native_resolution: bool = False):
     emb = None
     found = np.zeros(len(paths), bool)
     for idx in groups.values():
-        e, _, fnd = fr.face_encodings_batch(
-            np.stack([frames[i] for i in idx])
+        e, _, fnd = batched_apply(
+            fr.face_encodings_batch,
+            np.stack([frames[i] for i in idx]),
+            min(len(idx), 32),
         )
         if emb is None:
             emb = np.zeros((len(paths), e.shape[1]), np.float32)
@@ -418,9 +425,13 @@ def cmd_identify(args: argparse.Namespace) -> int:
         for i, f in enumerate(frames):
             groups.setdefault(f.shape[:2], []).append(i)
         misses: List[int] = []
+        from deep_insight_face_tpu.utils.batching import batched_apply
+
         for idx in groups.values():
-            emb, boxes, _, valid = fr.face_encodings_batch_multi(
-                np.stack([frames[i] for i in idx])
+            emb, boxes, _, valid = batched_apply(
+                fr.face_encodings_batch_multi,
+                np.stack([frames[i] for i in idx]),
+                min(len(idx), 16),
             )
             for row, i in enumerate(idx):
                 path = args.images[i]
