@@ -41,9 +41,20 @@ class FaceGallery:
     the reference is a one-host numpy loop, predictions.py:74-79,126).
     """
 
-    def __init__(self, embedding_size: int = 128, mesh=None):
+    def __init__(self, embedding_size: int = 128, mesh=None, dtype=None):
         self.embedding_size = embedding_size
         self.mesh = mesh
+        # device storage dtype: bfloat16 halves gallery HBM (2x identities
+        # per chip) and the match kernel's feed bytes — the MXU contracts
+        # bf16 natively with f32 accumulation. Unit-vector rows carry
+        # ~0.4% per-component rounding => cosine scores move by ~2e-3;
+        # fine for identification (top-1 margins are >>0.01), opt-in for
+        # verification at tight FAR thresholds. Host copies stay float32.
+        self._store_dtype = (
+            jnp.bfloat16
+            if dtype is not None and jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+            else jnp.float32
+        )
         self._names: List[str] = []
         # embeddings live as (k, D) blocks so bulk enrollment is O(1) per
         # batch (a 10⁷-identity gallery cannot afford a Python append per
@@ -110,16 +121,19 @@ class FaceGallery:
         return self._host_gallery
 
     def _gallery(self) -> jnp.ndarray:
+        """Device gallery, ALWAYS pre-normalized (f32 math) and stored in
+        ``self._store_dtype`` — every match call passes normalize=False
+        for the gallery side and normalizes queries explicitly."""
         if self._device_gallery is None:
             g = self._host()
+            g = g / np.maximum(
+                np.linalg.norm(g, axis=1, keepdims=True), 1e-12
+            )
+            g = g.astype(self._store_dtype)
             if self.mesh is not None:
-                # pre-normalize (the sharded kernels skip it) and pad N to
-                # a multiple of the model-axis size with DUPLICATES of row
-                # 0 — the exactness contract of the sharded combine
-                # (ops/distances.py, sharded gallery matcher).
-                g = g / np.maximum(
-                    np.linalg.norm(g, axis=1, keepdims=True), 1e-12
-                )
+                # pad N to a multiple of the model-axis size with
+                # DUPLICATES of row 0 — the exactness contract of the
+                # sharded combine (ops/distances.py, sharded matcher).
                 pad = (-len(g)) % self._n_model
                 if pad:
                     g = np.concatenate([g, np.repeat(g[:1], pad, 0)], 0)
@@ -150,16 +164,16 @@ class FaceGallery:
         no per-identity loop (cf. reference predictions.py:74-79); over a
         mesh, one fused kernel per gallery shard + an ICI combine."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         if self._match_fn is not None:
             m = q.shape[0]
-            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             pad = (-m) % self._n_data
             if pad:
                 q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0)
             scores, idx = self._match_fn(q, self._gallery())
             scores, idx = scores[:m], np.asarray(idx)[:m]
         else:
-            scores, idx = gallery_match(q, self._gallery())
+            scores, idx = gallery_match(q, self._gallery(), normalize=False)
             idx = np.asarray(idx)
         return [self._names[i] for i in idx], np.asarray(scores)
 
@@ -174,11 +188,11 @@ class FaceGallery:
             raise ValueError("gallery is empty")
         k = min(k, len(self))
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        # gallery rows arrive pre-normalized (_gallery contract);
+        # normalize queries here
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
+                            1e-12)
         if self.mesh is not None:
-            # sharded path: gallery rows arrive pre-normalized
-            # (_gallery contract), so normalize queries here
-            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
-                                1e-12)
             if k not in self._topk_fns:
                 self._topk_fns[k] = make_sharded_gallery_topk(self.mesh, k)
             m = q.shape[0]
@@ -192,8 +206,8 @@ class FaceGallery:
             )
             scores, idx = scores[:m], np.asarray(idx)[:m]
         else:
-            # single-device gallery is stored raw: normalize both sides
-            scores, idx = gallery_topk(q, self._gallery(), k)
+            scores, idx = gallery_topk(q, self._gallery(), k,
+                                       normalize=False)
             idx = np.asarray(idx)
         names = [[self._names[i] for i in row] for row in idx]
         return names, np.asarray(scores)
@@ -221,14 +235,14 @@ class FaceGallery:
         """Full (M, N) cosine score matrix (blocked Pallas matmul; per-
         shard tiles over the mesh when sharded)."""
         q = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         if self._scores_fn is not None:
             m = q.shape[0]
-            q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             pad = (-m) % self._n_data
             if pad:
                 q = jnp.concatenate([q, jnp.zeros((pad, q.shape[1]), q.dtype)], 0)
             return np.asarray(self._scores_fn(q, self._gallery()))[:m, : len(self)]
-        return np.asarray(gallery_scores(q, self._gallery()))
+        return np.asarray(gallery_scores(q, self._gallery(), normalize=False))
 
     # -- (de)serialization ---------------------------------------------------
 
@@ -244,12 +258,14 @@ class FaceGallery:
         )
 
     @classmethod
-    def load(cls, path: str, mesh=None) -> "FaceGallery":
+    def load(cls, path: str, mesh=None, dtype=None) -> "FaceGallery":
         """Restore a saved gallery; pass ``mesh`` to restore straight
-        into the sharded configuration. Bulk path — no per-row loop."""
+        into the sharded configuration and ``dtype=jnp.bfloat16`` for
+        half-HBM device storage. Bulk path — no per-row loop."""
         data = np.load(path, allow_pickle=False)
         emb = data["embeddings"]
-        g = cls(embedding_size=emb.shape[1] if emb.size else 128, mesh=mesh)
+        g = cls(embedding_size=emb.shape[1] if emb.size else 128, mesh=mesh,
+                dtype=dtype)
         if len(emb):
             g.add_batch([str(n) for n in data["names"]], emb)
         return g

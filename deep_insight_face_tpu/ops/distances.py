@@ -116,7 +116,14 @@ def _gallery_argmax_kernel(n_actual: int, q_ref, g_ref, max_ref, idx_ref):
 
 
 def _normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def _compute_dtype(gallery: jnp.ndarray):
+    """bf16 galleries contract on the MXU in bf16 (f32 accumulation) —
+    half the HBM feed bytes; everything else computes f32."""
+    return jnp.bfloat16 if gallery.dtype == jnp.bfloat16 else jnp.float32
 
 
 @functools.partial(jax.jit, static_argnames=("normalize",))
@@ -129,12 +136,13 @@ def gallery_scores(
     best-match-only use :func:`gallery_match` which never materializes
     the matrix.
     """
+    cd = _compute_dtype(gallery)
     if normalize:
         queries, gallery = _normalize(queries), _normalize(gallery)
     m, d = queries.shape
     n = gallery.shape[0]
-    qp = pad_dim(pad_dim(queries.astype(jnp.float32), 0, _TM), 1, 128)
-    gp = pad_dim(pad_dim(gallery.astype(jnp.float32), 0, _TN), 1, 128)
+    qp = pad_dim(pad_dim(queries.astype(cd), 0, _TM), 1, 128)
+    gp = pad_dim(pad_dim(gallery.astype(cd), 0, _TN), 1, 128)
     mp, dp = qp.shape
     np_ = gp.shape[0]
 
@@ -161,12 +169,13 @@ def gallery_match(
     Fused blocked matmul + running argmax; HBM traffic is O(M·D + N·D),
     independent of the (M, N) score matrix size.
     """
+    cd = _compute_dtype(gallery)
     if normalize:
         queries, gallery = _normalize(queries), _normalize(gallery)
     m, d = queries.shape
     n = gallery.shape[0]
-    qp = pad_dim(pad_dim(queries.astype(jnp.float32), 0, _TM), 1, 128)
-    gp = pad_dim(pad_dim(gallery.astype(jnp.float32), 0, _TN), 1, 128)
+    qp = pad_dim(pad_dim(queries.astype(cd), 0, _TM), 1, 128)
+    gp = pad_dim(pad_dim(gallery.astype(cd), 0, _TN), 1, 128)
     mp, dp = qp.shape
     np_ = gp.shape[0]
 
@@ -276,16 +285,17 @@ def gallery_topk(
     wrapper's padding rows would otherwise evict genuine candidates from
     the local top-k and a post-hoc mask could not bring them back.
     """
+    cd = _compute_dtype(gallery)
     if normalize:
         queries, gallery = _normalize(queries), _normalize(gallery)
     m, d = queries.shape
     n = gallery.shape[0]
     k = min(k, n)
-    queries = queries.astype(jnp.float32)
+    queries = queries.astype(cd)
     best_s = jnp.full((m, k), -jnp.inf, jnp.float32)
     best_i = jnp.zeros((m, k), jnp.int32)
     for start in range(0, n, chunk):
-        g = gallery[start : start + chunk].astype(jnp.float32)
+        g = gallery[start : start + chunk].astype(cd)
         s = jnp.dot(queries, g.T, preferred_element_type=jnp.float32)
         if n_valid is not None:
             col = start + jnp.arange(s.shape[1], dtype=jnp.int32)

@@ -248,3 +248,55 @@ def test_gallery_add_batch_bulk(rng):
         g1.add_batch(["x"], np.zeros((1, 8)))
     with pytest.raises(ValueError):
         g1.add_batch(["x", "y"], np.zeros((1, 16)))
+
+
+def test_gallery_bfloat16_storage(rng):
+    """dtype=bfloat16 halves device storage; identification results must
+    match the f32 gallery (same argmax, scores within bf16 rounding)."""
+    import jax.numpy as jnp
+
+    n, d = 50, 64
+    embs = rng.normal(size=(n, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    names = [f"id{i}" for i in range(n)]
+    g32 = FaceGallery(embedding_size=d)
+    g16 = FaceGallery(embedding_size=d, dtype=jnp.bfloat16)
+    g32.add_batch(names, embs)
+    g16.add_batch(names, embs)
+    assert g16._gallery().dtype == jnp.bfloat16
+    q = embs[:8] + rng.normal(scale=0.02, size=(8, d)).astype(np.float32)
+    n32, s32 = g32.identify(q)
+    n16, s16 = g16.identify(q)
+    assert n32 == n16 == names[:8]
+    np.testing.assert_allclose(s16, s32, atol=2e-2)
+    tn32, ts32 = g32.identify_topk(q, k=3)
+    tn16, ts16 = g16.identify_topk(q, k=3)
+    assert [r[0] for r in tn32] == [r[0] for r in tn16]
+    np.testing.assert_allclose(ts16, ts32, atol=2e-2)
+    np.testing.assert_allclose(
+        g16.scores_all(q), g32.scores_all(q), atol=2e-2
+    )
+
+
+def test_gallery_bfloat16_sharded(rng):
+    """bf16 storage composes with the mesh-sharded path."""
+    import jax.numpy as jnp
+
+    from deep_insight_face_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    n, d = 37, 32
+    embs = rng.normal(size=(n, d)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    names = [f"id{i}" for i in range(n)]
+    ref = FaceGallery(embedding_size=d)
+    ref.add_batch(names, embs)
+    g = FaceGallery(embedding_size=d, mesh=mesh, dtype=jnp.bfloat16)
+    g.add_batch(names, embs)
+    q = embs[:8]
+    n_ref, _ = ref.identify(q)
+    n_bf, s_bf = g.identify(q)
+    assert n_bf == n_ref
+    np.testing.assert_allclose(s_bf, 1.0, atol=2e-2)
+    tn, ts = g.identify_topk(q, k=4)
+    assert [r[0] for r in tn] == n_ref
