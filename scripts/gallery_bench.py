@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--topk", type=int, default=5,
                     help="also benchmark identify_topk at this k (0 skips)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="device gallery storage dtype (bfloat16 halves "
+                         "HBM and the match kernel's feed bytes)")
     args = ap.parse_args()
 
     import jax
@@ -51,8 +55,11 @@ def main() -> int:
     names = [f"id{i}" for i in range(args.n_ids)]
     print(f"generated {args.n_ids} ids in {time.time()-t0:.0f}s", flush=True)
 
+    import jax.numpy as jnp
+
     mesh = Mesh(np.array(jax.devices()), ("model",))
-    gal = FaceGallery(embedding_size=args.dim, mesh=mesh)
+    gal = FaceGallery(embedding_size=args.dim, mesh=mesh,
+                      dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
     gal.add_batch(names, embs)
 
     queries = [
@@ -85,6 +92,7 @@ def main() -> int:
         "dim": args.dim,
         "query_batch": args.queries,
         "mesh_devices": int(np.prod(list(mesh.shape.values()))),
+        "gallery_dtype": args.dtype,
         "platform": jax.devices()[0].platform,
     }
     print(json.dumps(out), flush=True)
