@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backbone", default="resnet50v2")
+    ap.add_argument("--norm", default="batch", choices=["batch", "group"],
+                    help="embedder norm layer — the serving tier's "
+                         "shipped MobileNetV2 weights are norm=group")
     ap.add_argument("--detector-input", type=int, default=416)
     ap.add_argument("--detector-variant", default="tiny_s2d",
                     help="detector architecture (full|tiny|tiny_s2d|tiny_mx)")
@@ -69,7 +72,8 @@ def main() -> int:
     if args.decision_threshold is not None:
         det_kw["decision_threshold"] = args.decision_threshold
     cfg = cfg.replace(
-        model=dataclasses.replace(cfg.model, backbone=args.backbone),
+        model=dataclasses.replace(cfg.model, backbone=args.backbone,
+                                  norm=args.norm),
         detector=dataclasses.replace(cfg.detector, **det_kw),
     )
 
@@ -83,10 +87,13 @@ def main() -> int:
             or pretrained.weights_path(f"detector_{cfg.detector.variant}.npz")
         ) is not None,
         "landmark": pretrained.weights_path("landmark_68.npz") is not None,
-        "embedder": pretrained.weights_path(
-            f"embedder_synth_{cfg.model.backbone}.npz") is not None,
+        "embedder": pretrained.load_matching_embedder(cfg.model) is not None,
     }
     print(f"shipped weights present: {weights}", flush=True)
+    if not all(weights.values()):
+        print("WARNING: missing shipped weights above run RANDOM-INIT — "
+              "the report would be meaningless; check --backbone/--norm/"
+              "--detector-variant", file=sys.stderr, flush=True)
 
     t0 = time.time()
     print(f"rendering {args.n_ids}×{args.per_id} held-out identity scenes "
