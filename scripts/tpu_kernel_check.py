@@ -15,6 +15,20 @@ print("gallery_scores max err:", np.abs(s - dense).max(), flush=True)
 sc, idx = gallery_match(q, g)
 print("gallery_match idx match:", (np.asarray(idx) == dense.argmax(1)).mean(), flush=True)
 
+# bf16 gallery storage path (kernel contracts bf16 on the MXU — verify
+# the Mosaic lowering on chip, interpret mode already covered in CI)
+from deep_insight_face_tpu.ops.distances import gallery_topk
+g16 = jnp.asarray(gn).astype(jnp.bfloat16)  # pre-normalized, bf16 storage
+q16 = jnp.asarray(qn)
+s16, i16 = gallery_match(q16, g16, normalize=False)
+print("gallery_match bf16 idx agreement:",
+      (np.asarray(i16) == dense.argmax(1)).mean(),
+      "score err:", float(np.abs(np.asarray(s16) - dense.max(1)).max()),
+      flush=True)
+ts, ti = gallery_topk(q16, g16, 5, normalize=False)
+print("gallery_topk bf16 top1 agreement:",
+      (np.asarray(ti)[:, 0] == dense.argmax(1)).mean(), flush=True)
+
 # flash margin softmax
 from deep_insight_face_tpu.ops.margin_softmax import flash_arcface_loss
 b, d, c = 64, 128, 4096
