@@ -97,6 +97,7 @@ class FaceRecognition:
         landmark_variables=None,
         seed: int = 0,
         mesh=None,
+        precision: str = "fast",
     ):
         """``mesh`` (a ``jax.sharding.Mesh``, e.g. from
         ``parallel.create_mesh()``) turns on multi-chip serving: the
@@ -107,7 +108,31 @@ class FaceRecognition:
 
         ``landmark_variables``: None auto-loads the shipped LandmarkNet
         weights; ``False`` opts out of the landmark stage entirely
-        (box-aligned crops only)."""
+        (box-aligned crops only).
+
+        ``precision`` selects the batch serving pipeline's numerics:
+
+        - ``"fast"`` (default): bf16 frames (exact for uint8 pixels) and
+          int8 MXU crop/warp interpolation (taps quantized to 1/127) —
+          the benchmarked deployment config, and the config the shipped
+          embedders were trained against (train-like-you-serve).
+          Measured bit-identical end-to-end verification quality on the
+          held-out eval (docs/PERF.md).
+        - ``"exact"``: fp32 frames and fp32 interpolation throughout —
+          use for external imagery if you want zero quantization in the
+          alignment warps (~15% slower end to end).
+
+        Only the fused batch paths (`face_encodings_batch`,
+        `face_encodings_batch_multi`) are affected; the per-image API is
+        always fp32."""
+        if precision not in ("fast", "exact"):
+            raise ValueError(f"precision must be 'fast' or 'exact', got {precision!r}")
+        self._pipeline_dtypes = (
+            dict(frame_dtype=jnp.bfloat16, interp_dtype=jnp.int8)
+            if precision == "fast"
+            else dict(frame_dtype=jnp.float32, interp_dtype=jnp.float32)
+        )
+        self.precision = precision
         self.mesh = mesh
         self.cfg = cfg or default_config()
         self.model = build_embedding_model(self.cfg.model)
@@ -367,6 +392,7 @@ class FaceRecognition:
             build_kw = dict(
                 align="landmark" if use_lm else "box",
                 landmark_model=self.landmark_model if use_lm else None,
+                **self._pipeline_dtypes,
             )
             if self.mesh is not None:
                 from deep_insight_face_tpu.parallel.serve import (
@@ -423,6 +449,7 @@ class FaceRecognition:
             build_kw = dict(
                 align="landmark" if use_lm else "box",
                 landmark_model=self.landmark_model if use_lm else None,
+                **self._pipeline_dtypes,
             )
             if self.mesh is not None:
                 from deep_insight_face_tpu.parallel.serve import (

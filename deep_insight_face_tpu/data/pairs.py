@@ -155,7 +155,13 @@ def transform_to_lfw_format(image_directory: Union[str, os.PathLike]) -> None:
             new_path = os.path.join(person_folder, f"{concat_name}_{i + 1:04d}{ext}")
             if image_path == new_path:
                 continue
-            tmp_path = os.path.join(person_folder, f".lfw_stage_{i:04d}{ext}")
+            # non-image temp suffix: if a crash lands between the stage and
+            # finalize phases, leftovers are invisible to the extension
+            # filter above, so a rerun is self-healing instead of renaming
+            # stale staging files into the identity sequence
+            tmp_path = os.path.join(
+                person_folder, f".lfw_stage_{i:04d}{ext}.tmp"
+            )
             os.rename(image_path, tmp_path)
             staged.append((tmp_path, new_path))
         for tmp_path, new_path in staged:

@@ -229,8 +229,9 @@ def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
     ``gallery``: (N, D) with N divisible by the model-axis size, padded
     per the row-0 duplicate contract above. Both pre-l2-normalized.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     data_axis = data_axis or mesh.axis_names[0]
     model_axis = model_axis or (
@@ -255,7 +256,7 @@ def make_sharded_gallery_match(mesh, data_axis=None, model_axis=None):
         mesh=mesh,
         in_specs=(q_spec, P(model_axis, None)),
         out_specs=(o_spec, o_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(matcher)
 
@@ -329,8 +330,9 @@ def make_sharded_gallery_topk(mesh, k, data_axis=None, model_axis=None):
     gallery pre-l2-normalized, same contract as
     :func:`make_sharded_gallery_match`.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     data_axis = data_axis or mesh.axis_names[0]
     model_axis = model_axis or (
@@ -359,7 +361,7 @@ def make_sharded_gallery_topk(mesh, k, data_axis=None, model_axis=None):
         mesh=mesh,
         in_specs=(q_spec, P(model_axis, None), P()),
         out_specs=(o_spec, o_spec),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(matcher)
 
@@ -368,8 +370,9 @@ def make_sharded_gallery_scores(mesh, data_axis=None, model_axis=None):
     """Build a jitted (queries, gallery) → (M, N) score-matrix fn sharded
     over ``mesh`` (queries over data, gallery rows over model); each
     shard computes its (M/d, N/m) tile with the blocked Pallas matmul."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
 
     data_axis = data_axis or mesh.axis_names[0]
     model_axis = model_axis or (
@@ -386,6 +389,6 @@ def make_sharded_gallery_scores(mesh, data_axis=None, model_axis=None):
         mesh=mesh,
         in_specs=(P(data_axis, None), P(model_axis, None)),
         out_specs=P(data_axis, model_axis),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(scorer)

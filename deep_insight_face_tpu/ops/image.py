@@ -405,11 +405,25 @@ def percentile_contrast_stretch(
     intensity range to [0, 255] (reference: common/image_aug.py:33-36
     skimage rescale_intensity on (2, 98) percentiles; also the
     iterator's contrast_stretching hook, common/iterator.py:471-474).
+
+    ``lower``/``upper`` may be scalars (shared bounds) or (N,) arrays
+    (independent percentile bounds per batch element, as the randomized
+    augmentation stack draws them).
     """
     x = images.astype(jnp.float32)
     flat = x.reshape(x.shape[0], -1)
-    lo = jnp.percentile(flat, lower, axis=1)[:, None, None, None]
-    hi = jnp.percentile(flat, upper, axis=1)[:, None, None, None]
+    lower = jnp.asarray(lower, jnp.float32)
+    upper = jnp.asarray(upper, jnp.float32)
+    if lower.ndim == 0 and upper.ndim == 0:
+        lo = jnp.percentile(flat, lower, axis=1)
+        hi = jnp.percentile(flat, upper, axis=1)
+    else:
+        lower = jnp.broadcast_to(lower, (flat.shape[0],))
+        upper = jnp.broadcast_to(upper, (flat.shape[0],))
+        lo = jax.vmap(jnp.percentile)(flat, lower)
+        hi = jax.vmap(jnp.percentile)(flat, upper)
+    lo = lo[:, None, None, None]
+    hi = hi[:, None, None, None]
     return jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-6) * 255.0, 0.0, 255.0)
 
 
@@ -439,8 +453,11 @@ def random_contrast_stretch(
     key: jax.Array, images: jnp.ndarray, max_lower: float = 6.0
 ) -> jnp.ndarray:
     """Contrast stretch with random percentile bounds (PRNG-keyed wrapper
-    for the augmentation stacks)."""
-    p = jax.random.uniform(key, (), minval=0.0, maxval=max_lower)
+    for the augmentation stacks). One independent draw per image, like
+    every other op in the stack (reference applies its contrast hook
+    per-image too: common/iterator.py:471-474)."""
+    p = jax.random.uniform(key, (images.shape[0],), minval=0.0,
+                           maxval=max_lower)
     return percentile_contrast_stretch(images, p, 100.0 - p)
 
 

@@ -114,10 +114,17 @@ def build_pipeline(
     landmark_size: int = 112,
     align_only: bool = False,
     frame_dtype=jnp.float32,
-    interp_dtype=jnp.int8,
+    interp_dtype=jnp.float32,
 ):
     """Fused detect → (align) → embed program for a fixed (N, H, W, 3)
     geometry.
+
+    ``interp_dtype`` selects the contraction dtype of the separable MXU
+    crop/warp interpolation. The default is exact fp32; pass ``jnp.int8``
+    for the fast serving configuration (taps quantized to 1/127 —
+    measured bit-identical end-to-end quality on the held-out procedural
+    world and ~2× faster warps; see docs/PERF.md). api.FaceRecognition
+    opts into int8 explicitly via its ``precision="fast"`` default.
 
     - ``align="box"``: margin-box crop + resize (reference pipeline
       semantics: filter_bounding_box margin crop, detector/run.py:76-88).
@@ -280,6 +287,7 @@ def build_align_pipeline(
     landmark_model=None,
     jit: bool = True,
     landmark_size: int = 112,
+    interp_dtype=jnp.int8,
 ):
     """Detect → landmark → similarity-align, WITHOUT the embedder: the
     serving pipeline's crop emitter (raw 0..255 crops, pre-preprocess).
@@ -291,10 +299,15 @@ def build_align_pipeline(
     Returns fn(detector_vars, landmark_vars, images) → AlignOutput with
     crops sized (model.image_size)².
     """
+    # int8 interpolation by default, on purpose: the shipped embedders
+    # were trained on crops emitted through this path and the fast serving
+    # tier (api.FaceRecognition precision="fast") warps with int8 too —
+    # train-like-you-serve requires the emitter to match the serving warp.
     return build_pipeline(
         cfg, embed_model=None, detector_model=detector_model, jit=jit,
         align="landmark", landmark_model=landmark_model,
         landmark_size=landmark_size, align_only=True,
+        interp_dtype=interp_dtype,
     )
 
 
@@ -311,7 +324,7 @@ def build_multiface_pipeline(
     detector_model: Optional[YoloV3] = None,
     jit: bool = True,
     frame_dtype=jnp.float32,
-    interp_dtype=jnp.int8,
+    interp_dtype=jnp.float32,
     align: str = "box",
     landmark_model=None,
     landmark_size: int = 112,
@@ -450,6 +463,7 @@ def build_benchmark_fn(
     align: str = "box",
     landmark_model=None,
     frame_dtype=jnp.float32,
+    interp_dtype=jnp.float32,
 ):
     """One jitted program running ``iters`` chained pipeline steps.
 
@@ -468,7 +482,7 @@ def build_benchmark_fn(
     run = build_pipeline(
         cfg, embed_model, detector_model, jit=False,
         align=align, landmark_model=landmark_model,
-        frame_dtype=frame_dtype,
+        frame_dtype=frame_dtype, interp_dtype=interp_dtype,
     )
 
     @jax.jit

@@ -201,7 +201,11 @@ def test_align_pipeline_matches_serving_pipeline(rng):
     imgs = jnp.asarray(
         rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
     )
-    serve = build_pipeline(cfg, em, dm, align="landmark", landmark_model=lm)
+    # match numerics: the align emitter defaults to int8 interpolation
+    # (train-like-you-serve, fast serving tier), so build the serving
+    # pipeline with the same interp for the crop↔embedding equivalence
+    serve = build_pipeline(cfg, em, dm, align="landmark", landmark_model=lm,
+                           interp_dtype=jnp.int8)
     align = build_align_pipeline(cfg, dm, landmark_model=lm)
 
     out = serve(dv, lv, ev, imgs)
@@ -348,3 +352,38 @@ def test_tie_break_keeps_float32_precision_between_confident_boxes():
     )
     assert bool(found)
     np.testing.assert_allclose(np.asarray(box), np.asarray(boxes[1]))
+
+
+def test_api_precision_knob(small_cfg):
+    """FaceRecognition(precision=…) — 'fast' (default) selects the
+    benchmarked bf16-frame/int8-interp serving numerics, 'exact' fp32
+    (ADVICE r3: int8 must be an explicit opt-in, never a silent builder
+    default)."""
+    from deep_insight_face_tpu.api import FaceRecognition
+
+    fr = FaceRecognition(cfg=small_cfg, landmark_variables=False)
+    assert fr.precision == "fast"
+    assert fr._pipeline_dtypes["interp_dtype"] == jnp.int8
+    assert fr._pipeline_dtypes["frame_dtype"] == jnp.bfloat16
+
+    fr = FaceRecognition(cfg=small_cfg, landmark_variables=False,
+                         precision="exact")
+    assert fr._pipeline_dtypes["interp_dtype"] == jnp.float32
+    assert fr._pipeline_dtypes["frame_dtype"] == jnp.float32
+
+    with pytest.raises(ValueError, match="precision"):
+        FaceRecognition(cfg=small_cfg, precision="int8")
+
+
+def test_builders_default_fp32_interp():
+    """The raw pipeline builders must default to exact fp32 interpolation
+    (quantized warps are a serving opt-in, not a library default)."""
+    import inspect
+
+    from deep_insight_face_tpu.pipeline import (
+        build_benchmark_fn, build_multiface_pipeline,
+    )
+
+    for fn in (build_pipeline, build_multiface_pipeline, build_benchmark_fn):
+        assert inspect.signature(fn).parameters["interp_dtype"].default \
+            == jnp.float32, fn.__name__
