@@ -225,24 +225,22 @@ def apply_dataset_stats(images: jnp.ndarray, stats) -> jnp.ndarray:
     return x
 
 
-def random_affine(
+def random_affine_matrices(
     key: jax.Array,
-    images: jnp.ndarray,
+    n: int,
+    h: int,
+    w: int,
     max_rotation_deg: float = 15.0,
     max_shift: float = 0.08,
     max_shear_deg: float = 8.0,
     zoom_range: Tuple[float, float] = (0.9, 1.1),
 ) -> jnp.ndarray:
-    """Per-image random rotation/shift/shear/zoom, composed into ONE warp.
-
-    The reference composes the same four homographies on the host with
-    scipy ndimage per image (reference: common/iterator.py:410-484,
-    common/image_aug.py:77-97); here the composed 2×3 matrices are built
-    batched on device and applied by the batched bilinear warp.
-    """
-    from deep_insight_face_tpu.ops.align import warp_affine_mxu
-
-    n, h, w, _ = images.shape
+    """Per-image random rotation/shift/shear/zoom as FORWARD (src→dst,
+    (x, y) column-first) 2×3 matrices, shape (n, 2, 3) — the matrix half
+    of :func:`random_affine`, exposed so landmark co-transforms can apply
+    the SAME geometry to (K, 2) point arrays (reference co-transform
+    semantics: common/image_aug.py:694-707 `_augment_keypoints` runs one
+    deterministic transform over image and keypoints together)."""
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     theta = jnp.deg2rad(
         jax.random.uniform(k1, (n,), minval=-max_rotation_deg, maxval=max_rotation_deg)
@@ -263,9 +261,32 @@ def random_affine(
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     t_x = cx - a * cx - b * cy + tx
     t_y = cy - c * cx - d * cy + ty
-    mats = jnp.stack(
+    return jnp.stack(
         [jnp.stack([a, b, t_x], -1), jnp.stack([c, d, t_y], -1)], axis=1
     )  # (n, 2, 3)
+
+
+def random_affine(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_rotation_deg: float = 15.0,
+    max_shift: float = 0.08,
+    max_shear_deg: float = 8.0,
+    zoom_range: Tuple[float, float] = (0.9, 1.1),
+) -> jnp.ndarray:
+    """Per-image random rotation/shift/shear/zoom, composed into ONE warp.
+
+    The reference composes the same four homographies on the host with
+    scipy ndimage per image (reference: common/iterator.py:410-484,
+    common/image_aug.py:77-97); here the composed 2×3 matrices are built
+    batched on device and applied by the batched bilinear warp.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+
+    n, h, w, _ = images.shape
+    mats = random_affine_matrices(
+        key, n, h, w, max_rotation_deg, max_shift, max_shear_deg, zoom_range
+    )
     # MXU two-pass warp: the gather-based warp costs ~53 ms/batch-128 on
     # TPU; augmentation rotations (≤15°+shear) are well inside its range
     return warp_affine_mxu(images, mats, (h, w))
@@ -461,26 +482,15 @@ def random_contrast_stretch(
     return percentile_contrast_stretch(images, p, 100.0 - p)
 
 
-def random_rotate_crop(
+def random_rotate_crop_matrices(
     key: jax.Array,
-    images: jnp.ndarray,
+    n: int,
+    h: int,
+    w: int,
     max_rotation_deg: float = 20.0,
 ) -> jnp.ndarray:
-    """Rotate and crop the largest same-aspect rectangle with no
-    out-of-frame corners, resized back to the input size — as ONE
-    composed affine warp (reference: common/image_aug.py:138-310
-    rotate_and_crop_largest_rect, a ~170-line host-side geometry
-    routine; here the crop is folded into the warp matrix).
-
-    For rotation θ of a w×h frame, the largest inscribed axis-aligned
-    rectangle with the same aspect ratio has scale
-    s = min(w/(w|cosθ|+h|sinθ|), h/(w|sinθ|+h|cosθ|)); the output grid
-    maps through R(θ)·(1/s) about the center, so no black corners ever
-    materialize and shapes stay static.
-    """
-    from deep_insight_face_tpu.ops.align import warp_affine_mxu
-
-    n, h, w, _ = images.shape
+    """FORWARD (src→dst) 2×3 matrices for :func:`random_rotate_crop` —
+    exposed for landmark co-transforms (see random_affine_matrices)."""
     theta = jnp.deg2rad(
         jax.random.uniform(
             key, (n,), minval=-max_rotation_deg, maxval=max_rotation_deg
@@ -504,9 +514,32 @@ def random_rotate_crop(
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     t_x = cx - a * cx - b * cy
     t_y = cy - c * cx - d * cy
-    mats = jnp.stack(
+    return jnp.stack(
         [jnp.stack([a, b, t_x], -1), jnp.stack([c, d, t_y], -1)], axis=1
     )
+
+
+def random_rotate_crop(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_rotation_deg: float = 20.0,
+) -> jnp.ndarray:
+    """Rotate and crop the largest same-aspect rectangle with no
+    out-of-frame corners, resized back to the input size — as ONE
+    composed affine warp (reference: common/image_aug.py:138-310
+    rotate_and_crop_largest_rect, a ~170-line host-side geometry
+    routine; here the crop is folded into the warp matrix).
+
+    For rotation θ of a w×h frame, the largest inscribed axis-aligned
+    rectangle with the same aspect ratio has scale
+    s = min(w/(w|cosθ|+h|sinθ|), h/(w|sinθ|+h|cosθ|)); the output grid
+    maps through R(θ)·(1/s) about the center, so no black corners ever
+    materialize and shapes stay static.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+
+    n, h, w, _ = images.shape
+    mats = random_rotate_crop_matrices(key, n, h, w, max_rotation_deg)
     return warp_affine_mxu(images, mats, (h, w))
 
 
@@ -554,6 +587,14 @@ def augment_batch(
         x = _sometimes(k[5], 0.5, random_affine, x)
         x = _sometimes(k[12], 0.25,
                        lambda kk, im: random_rotate_crop(kk, im, 20.0), x)
+    return _photometric_stack(k, x, option)
+
+
+def _photometric_stack(k, x: jnp.ndarray, option: str) -> jnp.ndarray:
+    """The non-geometric tail of :func:`augment_batch` (keys pre-split by
+    the caller, same index assignment), shared with
+    :func:`augment_with_landmarks` — photometric ops never move pixels,
+    so landmarks pass through them unchanged."""
     if option in ("non_geometric", "both", "all", "default"):
         x = _sometimes(k[2], 0.5, random_brightness, x)
         x = _sometimes(k[3], 0.5, random_contrast, x)
@@ -580,3 +621,135 @@ def augment_batch(
         x = _sometimes(k[14], 0.15,
                        lambda kk, im: histogram_equalization(im), x)
     return x
+
+
+# ---------------------------------------------------------------------------
+# keypoint co-transforming augmentation (reference: common/image_aug.py:718-756
+# augment_keypoints/augment_seg — imgaug's to_deterministic() applies ONE
+# sampled transform to image and keypoints together). Here the whole geometric
+# sub-stack composes into a single per-image affine, applied once to pixels
+# (one MXU warp) and once to the (K, 2) point array — correspondence is exact
+# by construction, not by replaying a stochastic pipeline twice.
+# ---------------------------------------------------------------------------
+
+
+def identity_matrices(n: int) -> jnp.ndarray:
+    """(n, 2, 3) identity affines."""
+    eye = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    return jnp.broadcast_to(eye, (n, 2, 3))
+
+
+def compose_affine(outer: jnp.ndarray, inner: jnp.ndarray) -> jnp.ndarray:
+    """Compose batched forward 2×3 affines: result(p) = outer(inner(p)).
+
+    Both (n, 2, 3); returns (n, 2, 3). Used to fold an augmentation
+    sequence (flip → crop → affine …) into one warp matrix per image.
+    """
+    a = outer[:, :, :2] @ inner[:, :, :2]          # (n, 2, 2)
+    t = (outer[:, :, :2] @ inner[:, :, 2:]) + outer[:, :, 2:]
+    return jnp.concatenate([a, t], axis=-1)
+
+
+def transform_keypoints(matrices: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply forward (src→dst) 2×3 affines to (x, y) point arrays.
+
+    ``matrices``: (n, 2, 3); ``points``: (n, K, 2) in pixel coordinates,
+    column-first (x, y) — the landmark convention (models/landmark.py).
+    Returns (n, K, 2). Matrices act on (x, y) exactly as the warp's
+    sampling grid does, so a point riding a warped image lands where the
+    underlying pixel content went.
+    """
+    return jnp.einsum("nij,nkj->nki", matrices[:, :, :2], points) + \
+        matrices[:, None, :, 2]
+
+
+def _gated(key: jax.Array, prob: float, mats: jnp.ndarray) -> jnp.ndarray:
+    """Per-image coin: the sampled matrix with probability ``prob``,
+    identity otherwise (matrix analogue of :func:`_sometimes`)."""
+    on = jax.random.bernoulli(key, prob, (mats.shape[0],))
+    return jnp.where(on[:, None, None], mats, identity_matrices(mats.shape[0]))
+
+
+def _flip_matrices(key: jax.Array, n: int, w: int, prob: float = 0.5) -> jnp.ndarray:
+    """Horizontal flip as a forward affine: x' = (w−1) − x."""
+    flip = jnp.array([[-1.0, 0.0, w - 1.0], [0.0, 1.0, 0.0]], jnp.float32)
+    mats = jnp.broadcast_to(flip, (n, 2, 3))
+    return _gated(key, prob, mats)
+
+
+def _crop_resize_matrices(
+    key: jax.Array, n: int, h: int, w: int, min_scale: float = 0.8
+) -> jnp.ndarray:
+    """Forward affines of :func:`random_crop_resize`'s pull map
+    src = (s·dst + o): x' = (x − ox)/sx, y' = (y − oy)/sy."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = jax.random.uniform(k1, (n,), minval=min_scale, maxval=1.0)
+    ch, cw = scale * h, scale * w
+    oy = jax.random.uniform(k2, (n,)) * (h - ch)
+    ox = jax.random.uniform(k3, (n,)) * (w - cw)
+    sx, sy = cw / w, ch / h
+    z = jnp.zeros_like(sx)
+    return jnp.stack([
+        jnp.stack([1.0 / sx, z, -ox / sx], -1),
+        jnp.stack([z, 1.0 / sy, -oy / sy], -1),
+    ], axis=1)
+
+
+def random_geometric_matrices(
+    key: jax.Array, n: int, h: int, w: int, option: str = "default"
+) -> jnp.ndarray:
+    """Sample the geometric sub-stack of :func:`augment_batch` for
+    ``option`` as ONE composed forward 2×3 affine per image (same ops,
+    same per-image gate probabilities). (n, 2, 3); identity for
+    photometric-only options."""
+    if option not in AUGMENTATION_OPTIONS:
+        raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
+    k = jax.random.split(key, 4)
+    mats = identity_matrices(n)
+    if option in ("geometric", "both", "all", "default"):
+        mats = compose_affine(_flip_matrices(k[0], n, w, 0.5), mats)
+        mats = compose_affine(
+            _gated(k[1], 0.5, _crop_resize_matrices(k[1], n, h, w)), mats)
+    if option == "all":
+        mats = compose_affine(
+            _gated(k[2], 0.5, random_affine_matrices(k[2], n, h, w)), mats)
+        mats = compose_affine(
+            _gated(k[3], 0.25, random_rotate_crop_matrices(k[3], n, h, w, 20.0)),
+            mats)
+    return mats
+
+
+def augment_with_landmarks(
+    key: jax.Array,
+    images: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    option: str = "default",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Co-transforming augmentation: images through the full ``option``
+    stack, (n, K, 2) pixel-space landmarks through the SAME per-image
+    geometry (reference: common/image_aug.py:718-756 augment_keypoints —
+    imgaug deterministic co-transform; there the keypoints ride a
+    replayed stochastic pipeline, here both ride one composed affine, so
+    correspondence is exact and the geometric cost is one MXU warp).
+
+    Positional semantics like the reference: a horizontal flip moves
+    landmark COORDINATES but does not swap left/right semantic indices
+    (e.g. landmark 36 stays "left eye outer corner" of the original
+    face, which is now on the right side of the image) — callers
+    training semantic-indexed heads should remap indices after flips or
+    drop flip from the stack.
+
+    Returns ``(augmented_images, augmented_landmarks)``; images float
+    [0, 255] NHWC, landmarks float (x, y) pixels.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+
+    n, h, w, _ = images.shape
+    if option == "none":
+        return images, landmarks
+    k_geo, k_photo = jax.random.split(key)
+    mats = random_geometric_matrices(k_geo, n, h, w, option)
+    x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
+    pts = transform_keypoints(mats, landmarks.astype(jnp.float32))
+    x = _photometric_stack(jax.random.split(k_photo, 15), x, option)
+    return x, pts

@@ -391,3 +391,124 @@ def test_random_crop_resize_per_image_geometry():
     assert out.shape == batch.shape
     diffs = [np.abs(out[i] - out[0]).max() for i in range(1, 4)]
     assert max(diffs) > 1.0, diffs  # identical inputs, distinct crops
+
+
+# ---------------------------------------------------------------------------
+# keypoint co-transforming augmentation (VERDICT r3 #4; reference:
+# common/image_aug.py:718-756 augment_keypoints deterministic co-transforms)
+# ---------------------------------------------------------------------------
+
+
+def _blob_images(points, size=64, sigma=1.5):
+    """One image per (K,2) point row: a bright gaussian blob at each point
+    on a black background — the render half of the warp-vs-points oracle."""
+    n, k, _ = points.shape
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    imgs = np.zeros((n, size, size, 1), np.float32)
+    for i in range(n):
+        for j in range(k):
+            px, py = points[i, j]
+            imgs[i, :, :, 0] += 255.0 * np.exp(
+                -((xx - px) ** 2 + (yy - py) ** 2) / (2 * sigma**2)
+            )
+    return np.clip(imgs, 0, 255)
+
+
+def test_compose_affine_matches_numpy_homogeneous(rng):
+    a = rng.normal(size=(5, 2, 3)).astype(np.float32)
+    b = rng.normal(size=(5, 2, 3)).astype(np.float32)
+    got = np.asarray(I.compose_affine(jnp.array(a), jnp.array(b)))
+    for i in range(5):
+        ah = np.vstack([a[i], [0, 0, 1]])
+        bh = np.vstack([b[i], [0, 0, 1]])
+        np.testing.assert_allclose(got[i], (ah @ bh)[:2], rtol=1e-5, atol=1e-5)
+
+
+def test_transform_keypoints_forward_map(rng):
+    # pure translation + scale: closed form
+    mats = jnp.array([[[2.0, 0.0, 3.0], [0.0, 0.5, -1.0]]])
+    pts = jnp.array([[[4.0, 8.0], [0.0, 0.0]]])
+    out = np.asarray(I.transform_keypoints(mats, pts))
+    np.testing.assert_allclose(out, [[[11.0, 3.0], [3.0, -1.0]]], atol=1e-6)
+
+
+def test_flip_matrices_mirror_x():
+    mats = I._flip_matrices(jax.random.key(0), 3, w=32, prob=1.0)
+    pts = jnp.array([[[5.0, 7.0]]] * 3)
+    out = np.asarray(I.transform_keypoints(mats, pts))
+    np.testing.assert_allclose(out[:, 0, 0], 31.0 - 5.0, atol=1e-6)
+    np.testing.assert_allclose(out[:, 0, 1], 7.0, atol=1e-6)
+
+
+def test_crop_resize_matrices_invert_pull_map(rng):
+    """Forward crop matrices are the exact inverse of random_crop_resize's
+    pull map src = s·dst + o (same key → same draws)."""
+    key = jax.random.key(7)
+    n, h, w = 4, 48, 48
+    mats = np.asarray(I._crop_resize_matrices(key, n, h, w))
+    k1, k2, k3 = jax.random.split(key, 3)
+    scale = np.asarray(jax.random.uniform(k1, (n,), minval=0.8, maxval=1.0))
+    ch, cw = scale * h, scale * w
+    oy = np.asarray(jax.random.uniform(k2, (n,))) * (h - ch)
+    ox = np.asarray(jax.random.uniform(k3, (n,))) * (w - cw)
+    for i in range(n):
+        # a dst pixel (x, y) samples src (sx·x+ox, sy·y+oy); the forward
+        # matrix must send that src point back to (x, y)
+        for (x, y) in [(0.0, 0.0), (10.0, 20.0), (w - 1.0, h - 1.0)]:
+            sx, sy = cw[i] / w, ch[i] / h
+            src = np.array([sx * x + ox[i], sy * y + oy[i]])
+            got = mats[i, :, :2] @ src + mats[i, :, 2]
+            np.testing.assert_allclose(got, [x, y], rtol=1e-4, atol=1e-3)
+
+
+def test_augment_with_landmarks_points_track_pixels(rng):
+    """The oracle VERDICT asks for: render blobs at the landmarks, push
+    the images through augment_with_landmarks, and check each warped
+    blob's brightest pixel sits at the co-transformed landmark."""
+    n, size = 12, 64
+    # ONE blob per image (several blobs can merge under zoom, making the
+    # global argmax ambiguous), placed centrally so crops keep it in frame
+    pts = rng.uniform(20, 44, (n, 1, 2)).astype(np.float32)
+    imgs = _blob_images(pts, size=size)
+    out_img, out_pts = I.augment_with_landmarks(
+        jax.random.key(3), jnp.array(imgs), jnp.array(pts), "geometric"
+    )
+    out_img, out_pts = np.asarray(out_img), np.asarray(out_pts)
+    assert out_img.shape == imgs.shape and out_pts.shape == pts.shape
+    checked = 0
+    for i in range(n):
+        px, py = out_pts[i, 0]
+        if not (4 <= px <= size - 5 and 4 <= py <= size - 5):
+            continue  # blob pushed (partially) out of frame
+        win = out_img[i, :, :, 0]
+        yy, xx = np.unravel_index(np.argmax(win), win.shape)
+        # integer argmax of a zoomed gaussian: tolerate 2 px
+        assert abs(xx - px) <= 2.0 and abs(yy - py) <= 2.0, (
+            f"img {i}: blob at ({xx},{yy}) vs landmark ({px:.1f},{py:.1f})"
+        )
+        checked += 1
+    assert checked >= n // 2, f"only {checked}/{n} landmarks stayed in frame"
+
+
+def test_augment_with_landmarks_none_is_identity(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    p = jnp.array(rng.uniform(0, 15, (2, 68, 2)).astype(np.float32))
+    xi, pi = I.augment_with_landmarks(jax.random.key(0), x, p, "none")
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(p))
+
+
+def test_augment_with_landmarks_jits(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    p = jnp.array(rng.uniform(4, 28, (2, 68, 2)).astype(np.float32))
+    f = jax.jit(lambda kk, im, pp: I.augment_with_landmarks(kk, im, pp, "all"))
+    xi, pi = f(jax.random.key(1), x, p)
+    assert xi.shape == x.shape and pi.shape == p.shape
+    assert np.isfinite(np.asarray(xi)).all() and np.isfinite(np.asarray(pi)).all()
+
+
+def test_geometric_matrices_photometric_options_identity():
+    mats = np.asarray(
+        I.random_geometric_matrices(jax.random.key(0), 3, 32, 32, "non_geometric")
+    )
+    np.testing.assert_allclose(mats, np.asarray(I.identity_matrices(3)), atol=0)

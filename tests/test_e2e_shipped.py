@@ -22,9 +22,16 @@ from deep_insight_face_tpu.utils import pretrained
 # (0.1, the measured operating point — faceless frames score ≤ 5e-5)
 # while crops come from the candidate floor. p≈0.983 over 60 gate
 # scenes: the 0.93 gate fails on ≥5/60 misses, P≈0.004 binomial noise.
+# TAR gate (VERDICT r3 #3): the metric-of-record family (reference
+# protocol evaluation/utility.py:26 uses FAR=1e-3, which 1,000 gate
+# impostor pairs cannot resolve — ~1 accept; FAR=1e-2 resolves at ~10
+# accepts/fold-train). Measured shipped TAR@FAR=1e-2 at gate scale is
+# 1.000; the 0.95 floor catches a verification-quality collapse while
+# absorbing per-fold interpolation noise.
 MIN_DETECTION_RATE = 0.93
 MIN_ACCURACY = 0.98
 MIN_AUC = 0.99
+MIN_TAR_AT_FAR_1E2 = 0.95
 
 
 def _has_all_weights():
@@ -71,12 +78,15 @@ def test_shipped_pipeline_quality_gate():
         evaluate_pairs, verification_pairs,
     )
 
+    # 50 impostors/id × 20 ids = 1,000 impostor pairs — enough to
+    # resolve the FAR=1e-2 operating point the TAR gate reads
     e1, e2, issame = verification_pairs(
-        labels, np.random.default_rng(5), impostors_per_id=5,
+        labels, np.random.default_rng(5), impostors_per_id=50,
     )
     report = evaluate_pairs(
         emb, e1, e2, issame,
         nrof_folds=10, distance_metric=0, subtract_mean=True,
+        far_target=1e-2,
     )
     acc = float(np.mean(report.accuracy))
     auc = float(report.auc)
@@ -86,6 +96,12 @@ def test_shipped_pipeline_quality_gate():
         f"EER {float(report.eer):.3f})"
     )
     assert auc >= MIN_AUC, f"e2e AUC {auc:.3f} < {MIN_AUC}"
+    tar = float(report.val)
+    assert tar >= MIN_TAR_AT_FAR_1E2, (
+        f"e2e TAR@FAR=1e-2 {tar:.3f} < {MIN_TAR_AT_FAR_1E2} "
+        f"(achieved FAR {float(report.far):.4f}) — metric-of-record "
+        f"verification quality collapsed"
+    )
 
 
 @pytest.mark.slow
