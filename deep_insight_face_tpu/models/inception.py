@@ -2,14 +2,22 @@
 
 96×96×3 → 128-D l2-normalized embedding, mirroring the graph the
 reference hand-builds layer by layer
-(reference: deep_insight_face/networks/inceptionv3.py:63-309): stem
-convs with LRN, inception blocks 3a/3b/3c/4a/4e/5a/5b (with the L2-pool
-branches of 3b/4a/5a, reference :160-163), global average pool and a
-dense projection. Here the whole family is one parameterized
-``InceptionBlock`` instead of seven copies of branch code.
+(reference: deep_insight_face/networks/inceptionv3.py:63-309) — exactly,
+so OpenFace CSV / .h5 weight ports are numerically mechanical:
 
-Weight porting from OpenFace CSV dumps is in utils/weights.py
-(reference loader: networks/inceptionv3.py:15-60).
+- every conv has a bias and is followed by BatchNorm(eps=1e-5) + relu
+  (reference :97-98 and conv2d_bn :310-334);
+- spatial pools are VALID (Keras default) with explicit zero-padding
+  before convs (ZeroPadding2D) — including the odd-looking pool branches
+  that DOWNSAMPLE (maxpool3/2 or the L2-pool avgpool3/3 trick,
+  reference :160-163) and then zero-pad back up to the block's spatial
+  size (e.g. ((3,4),(3,4)) in 3a, reference :133);
+- concat order is [3×3, 5×5, pool, 1×1] over the branches present
+  (reference :141, :173, :197, :252, :300).
+
+Here the seven hand-copied blocks are one parameterized
+``InceptionBlock``. Weight porting from OpenFace CSV dumps is in
+utils/weights.py (reference loader: networks/inceptionv3.py:15-60).
 """
 
 from __future__ import annotations
@@ -24,18 +32,32 @@ from deep_insight_face_tpu.models.layers import (
     Dtype,
     global_avg_pool,
     l2_normalize,
-    l2_pool,
     local_response_norm,
 )
 
-_BN_EPS = 1e-3  # Keras BatchNormalization default used by the reference graph
+_BN_EPS = 1e-5  # the reference passes epsilon=0.00001 on every BN (:98 etc.)
+
+PadPair = Tuple[Tuple[int, int], Tuple[int, int]]
+
+
+def _pad2d(x, pad: PadPair):
+    (t, b), (l, r) = pad
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
 class InceptionBlock(nn.Module):
-    """One Inception module with optional 1×1 / 3×3 / 5×5 / pool branches.
+    """One nn4.small2 Inception module.
 
-    ``pool`` ∈ {"max", "l2"}; ``pool_proj`` of 0 means no projection conv
-    after pooling (the stride-2 reduction blocks 3c/4e).
+    Branches (concatenated in this order, reference :141):
+
+    - 3×3: 1×1 reduce → zero-pad 1 → 3×3 conv (possibly stride 2)
+    - 5×5: 1×1 reduce → zero-pad 2 → 5×5 conv (possibly stride 2)
+    - pool: ``pool`` ∈ {"max": maxpool3/2 VALID, "l2": x²→avgpool3/3
+      VALID→×9→sqrt (reference :160-163)}, optional 1×1 projection,
+      then zero-pad ``pool_pad`` back to the block's spatial size
+    - 1×1: plain 1×1 conv
+
+    Every conv carries a bias and BN(eps=1e-5)+relu.
     """
 
     one: int = 0  # 1×1 branch features
@@ -43,34 +65,45 @@ class InceptionBlock(nn.Module):
     three: int = 0
     five_reduce: int = 0
     five: int = 0
+    stride: int = 1  # stride of the 3×3/5×5 main convs (reduction blocks)
     pool: str = "max"
     pool_proj: int = 0
-    stride: int = 1
+    pool_pad: PadPair = ((0, 0), (0, 0))
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(epsilon=_BN_EPS, use_bias=True, dtype=self.dtype,
+                  param_dtype=self.param_dtype)
         s = (self.stride, self.stride)
         branches = []
 
         if self.three:
             b = ConvBN(self.three_reduce, (1, 1), name="three_reduce", **kw)(x, train)
-            b = ConvBN(self.three, (3, 3), strides=s, name="three", **kw)(b, train)
+            # ZeroPadding2D(1) + VALID conv (reference conv2d_bn :327-330)
+            b = ConvBN(self.three, (3, 3), strides=s, padding=((1, 1), (1, 1)),
+                       name="three", **kw)(b, train)
             branches.append(b)
 
         if self.five:
             b = ConvBN(self.five_reduce, (1, 1), name="five_reduce", **kw)(x, train)
-            b = ConvBN(self.five, (5, 5), strides=s, name="five", **kw)(b, train)
+            b = ConvBN(self.five, (5, 5), strides=s, padding=((2, 2), (2, 2)),
+                       name="five", **kw)(b, train)
             branches.append(b)
 
         if self.pool == "l2":
-            p = l2_pool(x, (3, 3), strides=s)
+            # x² → avgpool3 stride 3 VALID → ×9 → sqrt (reference :160-163)
+            p = nn.avg_pool(jnp.square(x), (3, 3), strides=(3, 3), padding="VALID")
+            p = jnp.sqrt(jnp.maximum(p * 9.0, 1e-12))
         else:
-            p = nn.max_pool(x, (3, 3), strides=s, padding="SAME")
+            # Keras MaxPooling2D(pool_size=3, strides=2) — VALID, downsampling
+            p = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         if self.pool_proj:
             p = ConvBN(self.pool_proj, (1, 1), name="pool_proj", **kw)(p, train)
+        # zero-pad the (smaller) pooled map back to the block's spatial size
+        # (reference ZeroPadding2D after the pool branch, e.g. :133, :167)
+        p = _pad2d(p, self.pool_pad)
         branches.append(p)
 
         if self.one:
@@ -80,7 +113,8 @@ class InceptionBlock(nn.Module):
 
 
 class InceptionNN4Small2(nn.Module):
-    """nn4.small2 topology (input 96×96×3)."""
+    """nn4.small2 topology — input must be 96×96×3 (reference asserts the
+    same, :66)."""
 
     embedding_size: int = 128
     l2_output: bool = True
@@ -89,47 +123,60 @@ class InceptionNN4Small2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(epsilon=_BN_EPS, dtype=self.dtype, param_dtype=self.param_dtype)
+        if x.shape[1:3] != (96, 96):
+            raise ValueError(
+                f"InceptionNN4Small2 requires 96×96 input, got {x.shape}"
+            )
+        kw = dict(epsilon=_BN_EPS, use_bias=True, dtype=self.dtype,
+                  param_dtype=self.param_dtype)
         x = x.astype(self.dtype)
-        # stem
-        x = ConvBN(64, (7, 7), strides=(2, 2), use_bias=True, name="conv1", **kw)(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # stem (reference :95-113): ZeroPad(3) + 7×7/2 VALID; ZeroPad(1) +
+        # maxpool3/2 VALID; LRN; 1×1; ZeroPad(1) + 3×3 VALID; LRN;
+        # ZeroPad(1) + maxpool3/2 VALID
+        x = ConvBN(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                   name="conv1", **kw)(x, train)
+        x = _pad2d(x, ((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = local_response_norm(x.astype(jnp.float32)).astype(self.dtype)
-        x = ConvBN(64, (1, 1), use_bias=True, name="conv2", **kw)(x, train)
-        x = ConvBN(192, (3, 3), use_bias=True, name="conv3", **kw)(x, train)
+        x = ConvBN(64, (1, 1), name="conv2", **kw)(x, train)
+        x = ConvBN(192, (3, 3), padding=((1, 1), (1, 1)), name="conv3", **kw)(x, train)
         x = local_response_norm(x.astype(jnp.float32)).astype(self.dtype)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = _pad2d(x, ((1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")  # 12×12×192
 
-        # inception stacks (nn4.small2 branch table)
+        blk = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # branch tables + pool pads straight off the reference graph
         x = InceptionBlock(one=64, three_reduce=96, three=128, five_reduce=16,
                            five=32, pool="max", pool_proj=32,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_3a")(x, train)
+                           pool_pad=((3, 4), (3, 4)),  # reference :133
+                           name="inception_3a", **blk)(x, train)
         x = InceptionBlock(one=64, three_reduce=96, three=128, five_reduce=32,
                            five=64, pool="l2", pool_proj=64,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_3b")(x, train)
+                           pool_pad=((4, 4), (4, 4)),  # reference :167
+                           name="inception_3b", **blk)(x, train)
         x = InceptionBlock(three_reduce=128, three=256, five_reduce=32, five=64,
-                           pool="max", stride=2,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_3c")(x, train)
+                           stride=2, pool="max",
+                           pool_pad=((0, 1), (0, 1)),  # reference :196
+                           name="inception_3c", **blk)(x, train)  # 6×6×640
         x = InceptionBlock(one=256, three_reduce=96, three=192, five_reduce=32,
                            five=64, pool="l2", pool_proj=128,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_4a")(x, train)
+                           pool_pad=((2, 2), (2, 2)),  # reference :225
+                           name="inception_4a", **blk)(x, train)
         x = InceptionBlock(three_reduce=160, three=256, five_reduce=64, five=128,
-                           pool="max", stride=2,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_4e")(x, train)
+                           stride=2, pool="max",
+                           pool_pad=((0, 1), (0, 1)),  # reference :251
+                           name="inception_4e", **blk)(x, train)  # 3×3×1024
         x = InceptionBlock(one=256, three_reduce=96, three=384, pool="l2",
                            pool_proj=96,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_5a")(x, train)
+                           pool_pad=((1, 1), (1, 1)),  # reference :275
+                           name="inception_5a", **blk)(x, train)
         x = InceptionBlock(one=256, three_reduce=96, three=384, pool="max",
                            pool_proj=96,
-                           dtype=self.dtype, param_dtype=self.param_dtype,
-                           name="inception_5b")(x, train)
+                           pool_pad=((1, 1), (1, 1)),  # reference :295
+                           name="inception_5b", **blk)(x, train)  # 3×3×736
 
+        # AveragePooling2D(3, strides=1) VALID on 3×3 ≡ global average pool
+        # (reference :302-303), then Dense (reference :304)
         x = global_avg_pool(x)
         x = nn.Dense(
             self.embedding_size, dtype=self.dtype, param_dtype=self.param_dtype,

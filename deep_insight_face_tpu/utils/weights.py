@@ -194,78 +194,101 @@ def load_darknet_weights(
 # OpenFace CSV → Inception nn4.small2
 # ---------------------------------------------------------------------------
 
-# (csv base name, our module path under params['inception'])
-_OPENFACE_STEM = [
-    ("conv1", ("conv1",)),
-    ("conv2", ("conv2",)),
-    ("conv3", ("conv3",)),
+# The reference's CSV dump naming (networks/inceptionv3.py:336-362 WEIGHTS
+# list): the stem pairs conv and BN under DIFFERENT base names
+# ('conv1' + 'bn1'); each block branch uses '<block>_<branch>_conv<n>' +
+# '<block>_<branch>_bn<n>' (n = 1 reduce / 2 main for 3x3 & 5x5, bare for
+# pool/1x1); the head is 'dense_layer' read from dense_{w,b}.csv.
+# Files per conv: <conv>_w.csv (flat OIHW), <conv>_b.csv.
+# Files per bn:   <bn>_{w,b,m,v}.csv → scale/bias/mean/var.
+
+# our InceptionBlock branch module names, keyed by csv branch fragment
+_OPENFACE_BRANCHES = [
+    ("3x3_conv1", "3x3_bn1", "three_reduce"),
+    ("3x3_conv2", "3x3_bn2", "three"),
+    ("5x5_conv1", "5x5_bn1", "five_reduce"),
+    ("5x5_conv2", "5x5_bn2", "five"),
+    ("pool_conv", "pool_bn", "pool_proj"),
+    ("1x1_conv", "1x1_bn", "one"),
 ]
 
-_OPENFACE_BLOCK_BRANCHES = {
-    "1x1": "one",
-    "3x3_reduce": "three_reduce",  # csv conv1 of the 3x3 branch
-    "3x3": "three",
-    "5x5_reduce": "five_reduce",
-    "5x5": "five",
-    "pool_proj": "pool_proj",
-}
+
+def openface_csv_layer_map(params: Dict) -> List[Tuple[str, str, PathTuple]]:
+    """(conv csv base, bn csv base, module path) for every ConvBN the
+    model has — derived from the param tree so blocks without a branch
+    (e.g. 3c has no 1×1) are skipped exactly as the reference's WEIGHTS
+    list skips them."""
+    out: List[Tuple[str, str, PathTuple]] = []
+    for i in (1, 2, 3):
+        out.append((f"conv{i}", f"bn{i}", (f"conv{i}",)))
+    for block in ["3a", "3b", "3c", "4a", "4e", "5a", "5b"]:
+        mod = f"inception_{block}"
+        for conv_frag, bn_frag, ours in _OPENFACE_BRANCHES:
+            if ours in params.get(mod, {}):
+                out.append((f"{mod}_{conv_frag}", f"{mod}_{bn_frag}", (mod, ours)))
+    return out
 
 
 def load_openface_csv(
-    csv_dir: str, variables: Dict, module_name: str = "inception"
+    csv_dir: str, variables: Dict, module_name: str = "inception",
+    strict: bool = False,
 ) -> Dict:
     """Load OpenFace CSV weight dumps into an InceptionNN4Small2 tree.
 
-    CSV layout per layer (reference: networks/inceptionv3.py:15-60):
-    ``<name>_w.csv`` conv weights in OIHW (transposed (2,3,1,0) to HWIO),
-    ``<name>_b.csv`` bias; BN layers ``<name>_bn_{w,b,m,v}.csv`` for
-    scale/bias/mean/var; ``dense_{w,b}.csv`` for the final projection.
-    Missing files are skipped (partial loads allowed).
+    Mirrors the reference loader exactly
+    (networks/inceptionv3.py:28-60): conv ``<name>_w.csv`` holds the
+    flattened OIHW tensor (reshaped to conv_shape then transposed
+    (2,3,1,0) to HWIO, reference :44-45), ``<name>_b.csv`` the bias; BN
+    ``<name>_{w,b,m,v}.csv`` are scale/bias/mean/var; ``dense_w.csv`` is
+    reshaped (128, 736) and TRANSPOSED to Keras (in, out) order
+    (reference :53-55).
+
+    ``strict=True`` raises FileNotFoundError on any missing layer file;
+    the default skips absent layers (partial loads allowed).
     """
     params = _to_mutable(variables["params"])
     stats = _to_mutable(variables.get("batch_stats", {}))
     root = (module_name,) if module_name else ()
+    tree = _get(params, root)
 
-    def csv(name: str) -> Optional[np.ndarray]:
+    def csv(name: str, required: bool) -> Optional[np.ndarray]:
         p = os.path.join(csv_dir, name + ".csv")
         if not os.path.exists(p):
+            if required and strict:
+                raise FileNotFoundError(f"OpenFace CSV dump missing {p}")
             return None
-        return np.genfromtxt(p, delimiter=",", dtype=np.float32)
+        return np.genfromtxt(p, delimiter=",", dtype=np.float32).ravel()
 
-    def load_convbn(csv_base: str, path: PathTuple):
-        w = csv(csv_base + "_w")
-        if w is None:
-            return
-        kernel = _get(params, root + path + ("conv", "kernel"))
-        _set(params, root + path + ("conv", "kernel"),
-             jnp.asarray(w.reshape([kernel.shape[3], kernel.shape[2],
-                                    kernel.shape[0], kernel.shape[1]])
-                         .transpose(2, 3, 1, 0)))
-        b = csv(csv_base + "_b")
-        if b is not None and "bias" in _get(params, root + path + ("conv",)):
+    for conv_base, bn_base, path in openface_csv_layer_map(tree):
+        w = csv(conv_base + "_w", required=True)
+        if w is not None:
+            kernel = _get(params, root + path + ("conv", "kernel"))
+            kh, kw_, cin, cout = kernel.shape
+            # flat OIHW → (O, I, H, W) → transpose (2,3,1,0) → HWIO
+            # (reference :44-45 via its conv_shape dict, here derived)
+            _set(params, root + path + ("conv", "kernel"),
+                 jnp.asarray(w.reshape(cout, cin, kh, kw_).transpose(2, 3, 1, 0)))
+        b = csv(conv_base + "_b", required=True)
+        if b is not None:
             _set(params, root + path + ("conv", "bias"), jnp.asarray(b))
         for suffix, coll, leaf in [
-            ("_bn_w", params, ("bn", "scale")),
-            ("_bn_b", params, ("bn", "bias")),
-            ("_bn_m", stats, ("bn", "mean")),
-            ("_bn_v", stats, ("bn", "var")),
+            ("_w", params, ("bn", "scale")),
+            ("_b", params, ("bn", "bias")),
+            ("_m", stats, ("bn", "mean")),
+            ("_v", stats, ("bn", "var")),
         ]:
-            arr = csv(csv_base + suffix)
+            arr = csv(bn_base + suffix, required=True)
             if arr is not None:
                 _set(coll, root + path + leaf, jnp.asarray(arr))
 
-    for base, path in _OPENFACE_STEM:
-        load_convbn(base, path)
-
-    for block in ["3a", "3b", "3c", "4a", "4e", "5a", "5b"]:
-        for csv_branch, ours in _OPENFACE_BLOCK_BRANCHES.items():
-            load_convbn(f"inception_{block}_{csv_branch}", (f"inception_{block}", ours))
-
-    dw = csv("dense_w")
+    dw = csv("dense_w", required=True)
     if dw is not None:
         dense = _get(params, root + ("dense",))
-        dense["kernel"] = jnp.asarray(dw.reshape(dense["kernel"].shape))
-        db = csv("dense_b")
+        in_dim, out_dim = dense["kernel"].shape
+        # the dump is (out, in) row-major; the reference reshapes to
+        # (128, 736) then transposes (reference :53-55)
+        dense["kernel"] = jnp.asarray(dw.reshape(out_dim, in_dim).T)
+        db = csv("dense_b", required=True)
         if db is not None:
             dense["bias"] = jnp.asarray(db)
 
@@ -274,6 +297,37 @@ def load_openface_csv(
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+def save_openface_csv(
+    csv_dir: str, variables: Dict, module_name: str = "inception"
+) -> None:
+    """Write an InceptionNN4Small2 tree as an OpenFace-format CSV dump —
+    the inverse of :func:`load_openface_csv`, byte-layout-compatible with
+    the dumps the reference loads (networks/inceptionv3.py:28-60). Used
+    to pin the format contract in tests (synthetic roundtrip)."""
+    os.makedirs(csv_dir, exist_ok=True)
+    params = _to_mutable(variables["params"])
+    stats = _to_mutable(variables.get("batch_stats", {}))
+    root = (module_name,) if module_name else ()
+    tree = _get(params, root)
+
+    def dump(name: str, arr: np.ndarray):
+        np.savetxt(os.path.join(csv_dir, name + ".csv"),
+                   np.asarray(arr, np.float32).ravel()[None], delimiter=",")
+
+    for conv_base, bn_base, path in openface_csv_layer_map(tree):
+        kernel = np.asarray(_get(params, root + path + ("conv", "kernel")))
+        dump(conv_base + "_w", kernel.transpose(3, 2, 0, 1))  # HWIO → OIHW flat
+        dump(conv_base + "_b", _get(params, root + path + ("conv", "bias")))
+        dump(bn_base + "_w", _get(params, root + path + ("bn", "scale")))
+        dump(bn_base + "_b", _get(params, root + path + ("bn", "bias")))
+        dump(bn_base + "_m", _get(stats, root + path + ("bn", "mean")))
+        dump(bn_base + "_v", _get(stats, root + path + ("bn", "var")))
+
+    dense = _get(params, root + ("dense",))
+    dump("dense_w", np.asarray(dense["kernel"]).T)  # (in, out) → (out, in) flat
+    dump("dense_b", dense["bias"])
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,221 @@ def _torch_resnetv2(x_nhwc, params, stats, depths, filters):
     return x.permute(0, 2, 3, 1).numpy()
 
 
+# ---------------------------------------------------------------------------
+# Inception nn4.small2 (reference graph: networks/inceptionv3.py:63-309)
+# ---------------------------------------------------------------------------
+
+
+def _torch_convbn(x, p, s, stride=1, pad=((0, 0), (0, 0)), eps=1e-5):
+    """ZeroPadding2D + VALID conv (bias) + BN(eps) + relu — the reference's
+    conv2d_bn cell (networks/inceptionv3.py:310-334)."""
+    (t, b), (l, r) = pad
+    x = F.pad(x, (l, r, t, b))
+    x = _torch_conv(x, p["conv"]["kernel"], p["conv"]["bias"], stride=stride)
+    x = _torch_bn(x, p["bn"], s["bn"], eps=eps)
+    return F.relu(x)
+
+
+def _torch_lrn(x, radius=5, bias=1.0, alpha=1e-4, beta=0.75):
+    """tf.nn.lrn semantics (plain windowed sum of squares, NOT torch's
+    size-normalized alpha) — reference networks/inceptionv3.py:95."""
+    sq = x * x
+    c = x.shape[1]
+    padded = F.pad(sq, (0, 0, 0, 0, radius, radius))
+    acc = torch.zeros_like(x)
+    for i in range(2 * radius + 1):
+        acc = acc + padded[:, i : i + c]
+    return x / (bias + alpha * acc) ** beta
+
+
+def _torch_zeropad(x, pad):
+    (t, b), (l, r) = pad
+    return F.pad(x, (l, r, t, b))
+
+
+def _torch_inception_block(x, p, s, spec):
+    """spec: dict with keys mirroring the reference block wiring."""
+    branches = []
+    stride = spec.get("stride", 1)
+    if "three" in p:
+        b = _torch_convbn(x, p["three_reduce"], s["three_reduce"])
+        b = _torch_convbn(b, p["three"], s["three"], stride=stride,
+                          pad=((1, 1), (1, 1)))
+        branches.append(b)
+    if "five" in p:
+        b = _torch_convbn(x, p["five_reduce"], s["five_reduce"])
+        b = _torch_convbn(b, p["five"], s["five"], stride=stride,
+                          pad=((2, 2), (2, 2)))
+        branches.append(b)
+    if spec["pool"] == "l2":
+        # x² → avgpool3/3 VALID → ×9 → sqrt (reference :160-163)
+        pool = torch.sqrt(torch.clamp(
+            F.avg_pool2d(x * x, 3, stride=3) * 9.0, min=1e-12))
+    else:
+        pool = F.max_pool2d(x, 3, stride=2)
+    if "pool_proj" in p:
+        pool = _torch_convbn(pool, p["pool_proj"], s["pool_proj"])
+    branches.append(_torch_zeropad(pool, spec["pool_pad"]))
+    if "one" in p:
+        branches.append(_torch_convbn(x, p["one"], s["one"]))
+    return torch.cat(branches, dim=1)
+
+
+_NN4_SPECS = {
+    "inception_3a": dict(pool="max", pool_pad=((3, 4), (3, 4))),
+    "inception_3b": dict(pool="l2", pool_pad=((4, 4), (4, 4))),
+    "inception_3c": dict(pool="max", pool_pad=((0, 1), (0, 1)), stride=2),
+    "inception_4a": dict(pool="l2", pool_pad=((2, 2), (2, 2))),
+    "inception_4e": dict(pool="max", pool_pad=((0, 1), (0, 1)), stride=2),
+    "inception_5a": dict(pool="l2", pool_pad=((1, 1), (1, 1))),
+    "inception_5b": dict(pool="max", pool_pad=((1, 1), (1, 1))),
+}
+
+
+def _torch_nn4_small2(x_nhwc, params, stats):
+    x = torch.tensor(x_nhwc.transpose(0, 3, 1, 2))
+    # stem (reference :95-113)
+    x = _torch_convbn(x, params["conv1"], stats["conv1"], stride=2,
+                      pad=((3, 3), (3, 3)))
+    x = F.max_pool2d(F.pad(x, (1, 1, 1, 1)), 3, stride=2)
+    x = _torch_lrn(x)
+    x = _torch_convbn(x, params["conv2"], stats["conv2"])
+    x = _torch_convbn(x, params["conv3"], stats["conv3"], pad=((1, 1), (1, 1)))
+    x = _torch_lrn(x)
+    x = F.max_pool2d(F.pad(x, (1, 1, 1, 1)), 3, stride=2)
+    for name, spec in _NN4_SPECS.items():
+        x = _torch_inception_block(x, params[name], stats[name], spec)
+    x = x.mean(dim=(2, 3))  # avgpool3/1 VALID on 3×3 ≡ global mean (:302)
+    w = torch.tensor(np.asarray(params["dense"]["kernel"]))  # (in, out)
+    b = torch.tensor(np.asarray(params["dense"]["bias"]))
+    x = x @ w + b
+    return F.normalize(x, dim=1).numpy()
+
+
+def _randomized_variables(model, rng, shape):
+    """Init then mildly randomize batch stats (see resnet test note)."""
+    variables = model.init(jax.random.key(0), jnp.zeros(shape))
+
+    def _rand_stats(path, a):
+        name = str(path[-1].key)
+        if name == "mean":
+            return jnp.asarray(rng.normal(scale=0.05, size=a.shape), a.dtype)
+        return jnp.asarray(rng.uniform(0.8, 1.2, a.shape), a.dtype)
+
+    stats = jax.tree_util.tree_map_with_path(
+        _rand_stats, variables["batch_stats"]
+    )
+    return {"params": variables["params"], "batch_stats": stats}
+
+
+def test_inception_nn4_small2_matches_torch(rng):
+    from deep_insight_face_tpu.models.inception import InceptionNN4Small2
+
+    model = InceptionNN4Small2(dtype=jnp.float32)
+    variables = _randomized_variables(model, rng, (1, 96, 96, 3))
+    x = rng.normal(size=(2, 96, 96, 3)).astype(np.float32)
+
+    flax_out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    with torch.no_grad():
+        torch_out = _torch_nn4_small2(
+            x,
+            jax.tree_util.tree_map(np.asarray, variables["params"]),
+            jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+        )
+    assert flax_out.shape == torch_out.shape == (2, 128)
+    np.testing.assert_allclose(flax_out, torch_out, atol=2e-4)
+    cos = (flax_out * torch_out).sum(-1)  # both rows l2-normalized
+    assert float(cos.min()) >= 0.999
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (Keras-applications graph the reference builds via
+# networks/siamese.py:81-89 / triplet.py:87-100 'mobilenet')
+# ---------------------------------------------------------------------------
+
+
+def _torch_keras_bn(x, p, s, eps=1e-3):
+    return _torch_bn(x, p, s, eps=eps)
+
+
+def _torch_pad_pairs(x, pairs):
+    (t, b), (l, r) = pairs
+    return F.pad(x, (l, r, t, b))
+
+
+def _torch_dw_conv(x, kernel, stride, pad):
+    # HWIO depthwise kernel has I == 1 groups == channels: HWIO → (C,1,H,W)
+    k = torch.tensor(np.asarray(kernel).transpose(3, 2, 0, 1))
+    x = _torch_pad_pairs(x, pad)
+    return F.conv2d(x, k, stride=stride, groups=k.shape[0])
+
+
+def _same_pad(size, k=3):
+    # SAME for stride 1, odd kernel
+    return ((k // 2, k // 2), (k // 2, k // 2))
+
+
+def _keras_correct_pad(hw, k=3):
+    return [((k % 2) if (s % 2) else 0, k % 2) for s in hw]
+
+
+def _torch_inverted_residual(x, p, s, stride, expand, features):
+    inp = x.shape[1]
+    y = x
+    if expand != 1:
+        y = _torch_conv(y, p["expand"]["conv"]["kernel"])
+        y = F.relu6(_torch_keras_bn(y, p["expand"]["bn"], s["expand"]["bn"]))
+    pad = (_same_pad(None) if stride == 1
+           else _keras_correct_pad(y.shape[2:4]))
+    y = _torch_dw_conv(y, p["dw_conv"]["kernel"], stride, pad)
+    y = F.relu6(_torch_keras_bn(y, p["dw_bn"], s["dw_bn"]))
+    y = _torch_conv(y, p["project"]["conv"]["kernel"])
+    y = _torch_keras_bn(y, p["project"]["bn"], s["project"]["bn"])
+    if stride == 1 and inp == features:
+        y = y + x
+    return y
+
+
+def test_mobilenetv2_matches_torch(rng):
+    from deep_insight_face_tpu.models.backbones import (
+        MobileNetV2, _make_divisible,
+    )
+
+    width = 1.0
+    model = MobileNetV2(width=width, dtype=jnp.float32)
+    variables = _randomized_variables(model, rng, (1, 32, 32, 3))
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    flax_out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    with torch.no_grad():
+        t = torch.tensor(x.transpose(0, 3, 1, 2))
+        t = _torch_pad_pairs(t, _keras_correct_pad(t.shape[2:4]))
+        t = _torch_conv(t, p["stem"]["conv"]["kernel"], stride=2)
+        t = F.relu6(_torch_keras_bn(t, p["stem"]["bn"], s["stem"]["bn"]))
+        for i, (expand, features, repeats, stride) in enumerate(model.config):
+            feats = _make_divisible(features * width)
+            for r in range(repeats):
+                name = f"block{i}_{r}"
+                t = _torch_inverted_residual(
+                    t, p[name], s[name],
+                    stride if r == 0 else 1, expand, feats,
+                )
+        t = _torch_conv(t, p["head_conv"]["conv"]["kernel"])
+        t = F.relu6(_torch_keras_bn(t, p["head_conv"]["bn"],
+                                    s["head_conv"]["bn"]))
+        torch_out = t.permute(0, 2, 3, 1).numpy()
+
+    assert flax_out.shape == torch_out.shape
+    np.testing.assert_allclose(flax_out, torch_out, atol=5e-4)
+    a, b = flax_out.ravel(), torch_out.ravel()
+    assert np.linalg.norm(a) > 1e-3
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos >= 0.999
+
+
 def test_resnetv2_matches_torch(rng):
     depths, filters = (1, 1), (8, 16)
     model = ResNetV2(depths=depths, filters=filters, dtype=jnp.float32)

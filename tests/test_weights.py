@@ -105,25 +105,82 @@ def test_parse_darknet_cfg(tmp_path):
 
 
 def test_openface_csv_loader(tmp_path, rng):
+    """Partial load with the reference's real dump naming: stem conv and
+    BN under different base names ('conv1_w' + 'bn1_m', reference
+    networks/inceptionv3.py:336-341), OIHW flat → (2,3,1,0) transpose
+    (reference :44-45)."""
     from deep_insight_face_tpu.models.inception import InceptionNN4Small2
 
     model = InceptionNN4Small2(dtype=jnp.float32)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
-    k = np.asarray(variables["params"]["conv1"]["conv"]["kernel"])  # (7,7,3,64)
 
     w = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)  # OIHW flat csv
     np.savetxt(tmp_path / "conv1_w.csv", w.reshape(64, -1), delimiter=",")
     b = rng.normal(size=64).astype(np.float32)
     np.savetxt(tmp_path / "conv1_b.csv", b[None], delimiter=",")
     bnm = rng.normal(size=64).astype(np.float32)
-    np.savetxt(tmp_path / "conv1_bn_m.csv", bnm[None], delimiter=",")
+    np.savetxt(tmp_path / "bn1_m.csv", bnm[None], delimiter=",")
 
     loaded = W.load_openface_csv(str(tmp_path), variables, module_name="")
     got = np.asarray(loaded["params"]["conv1"]["conv"]["kernel"])
     np.testing.assert_allclose(got, w.transpose(2, 3, 1, 0), atol=1e-6)
     np.testing.assert_allclose(
+        np.asarray(loaded["params"]["conv1"]["conv"]["bias"]), b, atol=1e-6
+    )
+    np.testing.assert_allclose(
         np.asarray(loaded["batch_stats"]["conv1"]["bn"]["mean"]), bnm, atol=1e-5
     )
+
+
+def test_openface_csv_strict_raises_on_missing(tmp_path):
+    from deep_insight_face_tpu.models.inception import InceptionNN4Small2
+
+    model = InceptionNN4Small2(dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
+    with pytest.raises(FileNotFoundError):
+        W.load_openface_csv(str(tmp_path), variables, module_name="",
+                            strict=True)
+
+
+def test_openface_csv_full_roundtrip(tmp_path, rng):
+    """Synthetic full-dump roundtrip in the reference's exact format:
+    save every layer the way OpenFace dumps it, reload with strict=True,
+    and require IDENTICAL embeddings — pins the reshape/transpose/naming
+    contract end to end (reference loader: networks/inceptionv3.py:28-60,
+    incl. the dense (128, 736)-then-transpose at :53-55)."""
+    from deep_insight_face_tpu.models.inception import InceptionNN4Small2
+
+    model = InceptionNN4Small2(dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
+
+    # randomize every leaf so a wrong mapping cannot hide behind zeros
+    def _rand(path, a):
+        name = str(path[-1].key)
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.8, 1.2, a.shape), a.dtype)
+        return jnp.asarray(rng.normal(scale=0.1, size=a.shape), a.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(_rand, variables)
+
+    W.save_openface_csv(str(tmp_path), variables, module_name="")
+    fresh = model.init(jax.random.key(1), jnp.zeros((1, 96, 96, 3)))
+    loaded = W.load_openface_csv(str(tmp_path), fresh, module_name="",
+                                 strict=True)
+
+    # every leaf must round-trip (CSV float32 text ~1e-6 relative)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables)[0],
+        jax.tree_util.tree_flatten_with_path(loaded)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6, err_msg=str(pa))
+
+    x = jnp.asarray(rng.normal(size=(2, 96, 96, 3)).astype(np.float32))
+    ya = np.asarray(model.apply(variables, x, train=False))
+    yb = np.asarray(model.apply(loaded, x, train=False))
+    cos = (ya * yb).sum(-1)  # both l2-normalized
+    assert float(cos.min()) >= 0.999
 
 
 def test_npz_roundtrip(tmp_path, rng):
