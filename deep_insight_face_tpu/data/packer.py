@@ -56,7 +56,19 @@ def pack_pairs_bin(
 
 
 def load_pairs_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Decode a packed bin → (images (2N, S, S, 3) uint8, issame (N,))."""
+    """Decode a packed bin → (images (2N, S, S, 3) uint8, issame (N,)).
+
+    Accepts both this package's ``.npz`` layout (pack_pairs_bin) and the
+    reference's pickle format — ``pickle.dump([encoded_jpegs, issame])``
+    (reference: scripts/raw_img_tf.py:85-86) — read-only, so users of
+    ``deepface_raw_img_tfbinary`` can evaluate existing artifacts
+    directly. Re-pack with ``deep-insight-face-tpu pack-bin`` for the
+    faster offset-indexed layout.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic != b"PK":  # np.savez writes a zip; anything else → pickle
+        return _load_reference_pickle_bin(path)
     data = np.load(path)
     blob = data["blob"].tobytes()
     offsets = data["offsets"]
@@ -66,3 +78,59 @@ def load_pairs_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
         with Image.open(io.BytesIO(raw)) as im:
             imgs.append(np.asarray(im.convert("RGB"), np.uint8))
     return np.stack(imgs), data["issame"]
+
+
+def _coerce_jpeg_bytes(item) -> bytes:
+    """The reference pickles whatever tf.image.encode_jpeg returned —
+    plain bytes in the common InsightFace-style dumps, EagerTensors when
+    written by the reference script itself. Accept both plus numpy
+    scalars/arrays of bytes."""
+    if isinstance(item, (bytes, bytearray)):
+        return bytes(item)
+    if hasattr(item, "numpy"):  # tf EagerTensor without importing tf
+        return _coerce_jpeg_bytes(item.numpy())
+    if isinstance(item, np.ndarray):
+        if item.dtype == np.uint8:
+            return item.tobytes()
+        return _coerce_jpeg_bytes(item.item())
+    raise TypeError(
+        f"unsupported encoded-image entry of type {type(item).__name__} in "
+        "reference .bin — convert with 'deep-insight-face-tpu pack-bin'"
+    )
+
+
+def _load_reference_pickle_bin(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    import pickle
+
+    print(
+        f"{path}: reference pickle .bin detected — reading it directly; "
+        "consider re-packing with 'deep-insight-face-tpu pack-bin' for the "
+        "offset-indexed npz layout"
+    )
+    with open(path, "rb") as f:
+        payload = pickle.load(f, encoding="bytes")
+    try:
+        encoded, issame = payload[0], payload[1]
+    except (KeyError, IndexError, TypeError) as e:
+        raise ValueError(
+            f"{path} is not a [encoded_images, issame] pickle "
+            "(reference scripts/raw_img_tf.py:85-86 format)"
+        ) from e
+    imgs = []
+    for item in encoded:
+        raw = _coerce_jpeg_bytes(item)
+        with Image.open(io.BytesIO(raw)) as im:
+            imgs.append(np.asarray(im.convert("RGB"), np.uint8))
+    if not imgs:
+        raise ValueError(f"{path} holds no images")
+    # the reference script never resizes (its image_size arg is unused),
+    # so guard against ragged shapes by resizing to the first image's
+    if any(a.shape != imgs[0].shape for a in imgs):
+        h, w = imgs[0].shape[:2]
+        imgs = [
+            a if a.shape == imgs[0].shape else np.asarray(
+                Image.fromarray(a).resize((w, h), Image.BILINEAR), np.uint8
+            )
+            for a in imgs
+        ]
+    return np.stack(imgs), np.asarray(list(issame), np.bool_)
