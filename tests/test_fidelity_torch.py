@@ -76,6 +76,38 @@ def _torch_resnetv2(x_nhwc, params, stats, depths, filters):
 
 
 # ---------------------------------------------------------------------------
+# VGG16 (Keras-applications graph, reference backbone menu
+# networks/triplet.py:92-95 'vgg16')
+# ---------------------------------------------------------------------------
+
+
+def test_vgg16_matches_torch(rng):
+    from deep_insight_face_tpu.models.backbones import VGG16
+
+    model = VGG16(dtype=jnp.float32)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+    flax_out = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    with torch.no_grad():
+        t = torch.tensor(x.transpose(0, 3, 1, 2))
+        for b, (convs, _) in enumerate(model.blocks):
+            for c in range(convs):
+                w = p[f"block{b + 1}_conv{c + 1}"]
+                t = F.relu(_torch_conv(t, w["kernel"], w["bias"], padding=1))
+            t = F.max_pool2d(t, 2, stride=2)
+        torch_out = t.permute(0, 2, 3, 1).numpy()
+
+    assert flax_out.shape == torch_out.shape
+    np.testing.assert_allclose(flax_out, torch_out, atol=2e-4)
+    a, b = flax_out.ravel(), torch_out.ravel()
+    assert np.linalg.norm(a) > 1e-3
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos >= 0.999
+
+
+# ---------------------------------------------------------------------------
 # Inception nn4.small2 (reference graph: networks/inceptionv3.py:63-309)
 # ---------------------------------------------------------------------------
 
