@@ -212,6 +212,65 @@ def test_detector_sampler_and_cli(tmp_path, rng):
     assert rc == 0 and out.exists()
 
 
+@pytest.mark.slow
+def test_train_script_kill_resume(tmp_path):
+    """SIGKILL the detector training script mid-run (after a snapshot),
+    then rerun with --resume: the snapshot must restore cleanly, replay
+    the rng past the covered steps, finish, and clean up its .part
+    files. Models the round-3 outage where the axon tunnel died at step
+    2280/2400 (STATUS.md)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "train_detector_weights.py")
+    out = tmp_path / "det.npz"
+    args = [
+        sys.executable, script,
+        "--steps", "96", "--train-n", "8", "--eval-n", "4",
+        "--batch", "2", "--input-size", "128", "--max-faces", "2",
+        "--snapshot-every", "8", "--seed", "3",
+        "--output", str(out),
+    ]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    env["JAX_PLATFORM_NAME"] = "cpu"
+
+    part = str(out) + ".part.npz"
+    part_meta = str(out) + ".part.json"
+    log1 = open(tmp_path / "run1.log", "w")
+    proc = subprocess.Popen(args, stdout=log1, stderr=subprocess.STDOUT,
+                            env=env)
+    try:
+        deadline = time.time() + 600
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.exists(part) and os.path.exists(part_meta):
+                break
+            time.sleep(0.5)
+        assert proc.poll() is None, (
+            "script finished before the first snapshot — enlarge --steps: "
+            + (tmp_path / "run1.log").read_text()[-2000:]
+        )
+        proc.send_signal(signal.SIGKILL)  # mid-step, no cleanup
+        proc.wait(timeout=60)
+    finally:
+        log1.close()
+        if proc.poll() is None:
+            proc.kill()
+    assert os.path.exists(part), "snapshot missing after kill"
+
+    r2 = subprocess.run(args + ["--resume"], capture_output=True, text=True,
+                        env=env, timeout=1200)
+    assert r2.returncode == 0, r2.stdout[-3000:] + r2.stderr[-2000:]
+    assert "resumed from snapshot at step" in r2.stdout
+    assert out.exists(), "final weights not written after resume"
+    assert not os.path.exists(part), ".part.npz not cleaned up"
+    assert not os.path.exists(part_meta), ".part.json not cleaned up"
+
+
 def test_small_face_assigned_despite_uncovered_anchors():
     """Regression: tiny masks cover anchors 3-8 only; a face whose best
     overall anchor is 0-2 (e.g. 12×14 px — anchor (10,13)) must still be
