@@ -753,3 +753,53 @@ def augment_with_landmarks(
     pts = transform_keypoints(mats, landmarks.astype(jnp.float32))
     x = _photometric_stack(jax.random.split(k_photo, 15), x, option)
     return x, pts
+
+
+def transform_segmaps(
+    matrices: jnp.ndarray, segmaps: jnp.ndarray, num_classes: int
+) -> jnp.ndarray:
+    """Warp (n, h, w) integer label maps by forward 2×3 affines with label
+    integrity: one-hot per class → the same MXU warp the pixels ride →
+    argmax. Interpolating raw labels would blend class IDs into
+    meaningless intermediates; argmax over warped indicator channels is
+    imgaug's order-0/one-hot segmap semantics, expressed as dense einsums
+    instead of a gather (reference: common/image_aug.py:718-733
+    augment_seg — SegmentationMapsOnImage rides the deterministic
+    pipeline). Out-of-border pixels land on class 0 (all indicator
+    channels warp to 0 there) — callers should reserve 0 for background.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+
+    onehot = jax.nn.one_hot(segmaps, num_classes, dtype=jnp.float32)
+    warped = warp_affine_mxu(onehot, matrices, segmaps.shape[1:3])
+    return jnp.argmax(warped, axis=-1).astype(segmaps.dtype)
+
+
+def augment_with_segmaps(
+    key: jax.Array,
+    images: jnp.ndarray,
+    segmaps: jnp.ndarray,
+    num_classes: int,
+    option: str = "default",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Co-transforming augmentation for segmentation maps: images through
+    the full ``option`` stack, (n, h, w) integer label maps through the
+    SAME per-image geometry (reference: common/image_aug.py:718-733
+    augment_seg). Photometric ops touch only the pixels — labels are
+    invariant to them by construction.
+
+    Returns ``(augmented_images, augmented_segmaps)``; images float
+    [0, 255] NHWC, segmaps same integer dtype in, class 0 filling
+    revealed borders.
+    """
+    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+
+    n, h, w, _ = images.shape
+    if option == "none":
+        return images, segmaps
+    k_geo, k_photo = jax.random.split(key)
+    mats = random_geometric_matrices(k_geo, n, h, w, option)
+    x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
+    seg = transform_segmaps(mats, segmaps, num_classes)
+    x = _photometric_stack(jax.random.split(k_photo, 15), x, option)
+    return x, seg

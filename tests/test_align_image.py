@@ -512,3 +512,59 @@ def test_geometric_matrices_photometric_options_identity():
         I.random_geometric_matrices(jax.random.key(0), 3, 32, 32, "non_geometric")
     )
     np.testing.assert_allclose(mats, np.asarray(I.identity_matrices(3)), atol=0)
+
+
+def test_transform_segmaps_tracks_keypoints(rng):
+    """A one-hot square painted around each landmark must land (argmax'd)
+    where the co-transformed landmark says it went — the segmap and
+    keypoint paths share one geometry by construction."""
+    n, size = 8, 64
+    pts = rng.uniform(20, 44, (n, 1, 2)).astype(np.float32)
+    seg = np.zeros((n, size, size), np.int32)
+    for i, (px, py) in enumerate(pts[:, 0].astype(int)):
+        seg[i, py - 4 : py + 5, px - 4 : px + 5] = 1
+    mats = I.random_geometric_matrices(jax.random.key(5), n, size, size, "geometric")
+    out_seg = np.asarray(I.transform_segmaps(mats, jnp.array(seg), num_classes=2))
+    out_pts = np.asarray(I.transform_keypoints(mats, jnp.array(pts)))
+    assert out_seg.dtype == seg.dtype and out_seg.shape == seg.shape
+    checked = 0
+    for i in range(n):
+        px, py = out_pts[i, 0]
+        if not (6 <= px <= size - 7 and 6 <= py <= size - 7):
+            continue
+        ys, xs = np.nonzero(out_seg[i])
+        assert len(ys) > 0, f"img {i}: square vanished"
+        cx, cy = xs.mean(), ys.mean()
+        assert abs(cx - px) <= 2.0 and abs(cy - py) <= 2.0, (
+            f"img {i}: segmap centroid ({cx:.1f},{cy:.1f}) vs point ({px:.1f},{py:.1f})"
+        )
+        checked += 1
+    assert checked >= n // 2, f"only {checked}/{n} squares stayed in frame"
+
+
+def test_transform_segmaps_label_integrity(rng):
+    """Warped label maps contain ONLY input class ids (no interpolation
+    blends) and revealed borders fill with class 0."""
+    n, size = 4, 32
+    seg = rng.integers(0, 5, (n, size, size)).astype(np.int32)
+    mats = I.random_geometric_matrices(jax.random.key(9), n, size, size, "all")
+    out = np.asarray(I.transform_segmaps(mats, jnp.array(seg), num_classes=5))
+    assert set(np.unique(out)) <= set(range(5))
+
+
+def test_augment_with_segmaps_none_is_identity(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
+    s = jnp.array(rng.integers(0, 3, (2, 16, 16)).astype(np.int32))
+    xi, si = I.augment_with_segmaps(jax.random.key(0), x, s, 3, "none")
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(s))
+
+
+def test_augment_with_segmaps_jits(rng):
+    x = jnp.array(rng.uniform(0, 255, (2, 32, 32, 3)).astype(np.float32))
+    s = jnp.array(rng.integers(0, 4, (2, 32, 32)).astype(np.int32))
+    f = jax.jit(lambda kk, im, ss: I.augment_with_segmaps(kk, im, ss, 4, "all"))
+    xi, si = f(jax.random.key(1), x, s)
+    assert xi.shape == x.shape and si.shape == s.shape
+    assert np.isfinite(np.asarray(xi)).all()
+    assert set(np.unique(np.asarray(si))) <= set(range(4))
