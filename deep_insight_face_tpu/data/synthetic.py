@@ -485,8 +485,14 @@ def _pool_map(fn, work, workers):
         )
 
 
-def _render_detection_scene(rng, size, max_faces, min_face, max_face):
-    """One cluttered scene; draws from ``rng`` in a fixed order."""
+def _render_detection_scene(rng, size, max_faces, min_face, max_face,
+                            faceless_frac=0.0):
+    """One cluttered scene; draws from ``rng`` in a fixed order.
+
+    ``faceless_frac``: probability the scene contains NO face (pure
+    clutter) — hard negatives that teach the objectness head that
+    distractor shapes alone are background. When 0 (default) no coin is
+    drawn, keeping the stream bit-identical to earlier releases."""
     boxes = np.zeros((max_faces, 4), np.float32)
     valid = np.zeros((max_faces,), bool)
     bg = np.clip(
@@ -506,7 +512,10 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face):
         bg[m] = np.clip(rng.uniform(0, 1, 3) + rng.normal(0, 0.02), 0, 1)
 
     canvas = bg
-    k = int(rng.integers(1, max_faces + 1))
+    if faceless_frac > 0.0 and rng.random() < faceless_frac:
+        k = 0
+    else:
+        k = int(rng.integers(1, max_faces + 1))
     placed = []
     for f in range(k):
         radius = float(rng.uniform(min_face, max_face)) * size / 2 * 2
@@ -547,9 +556,10 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face):
 
 
 def _detection_scene_seeded(args):
-    i, seed, size, max_faces, min_face, max_face = args
+    i, seed, size, max_faces, min_face, max_face, faceless_frac = args
     rng = np.random.default_rng(np.random.SeedSequence([seed + 313, i]))
-    return _render_detection_scene(rng, size, max_faces, min_face, max_face)
+    return _render_detection_scene(rng, size, max_faces, min_face, max_face,
+                                   faceless_frac)
 
 
 def detection_scenes(
@@ -560,8 +570,14 @@ def detection_scenes(
     min_face: float = 0.15,
     max_face: float = 0.45,
     workers: int = 0,
+    faceless_frac: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cluttered scenes with 1..max_faces composited faces.
+
+    ``faceless_frac > 0`` makes that fraction of scenes (in expectation)
+    pure clutter with zero faces — hard negatives for objectness
+    training. Default 0 keeps both random streams bit-identical to
+    earlier releases.
 
     Returns (images uint8 (N,S,S,3), boxes float32 (N,max_faces,4)
     x1y1x2y2 px, valid bool (N,max_faces)). Boxes are the tight landmark
@@ -581,7 +597,7 @@ def detection_scenes(
     boxes = np.zeros((n, max_faces, 4), np.float32)
     valid = np.zeros((n, max_faces), bool)
     if workers > 0:
-        work = [(i, seed, size, max_faces, min_face, max_face)
+        work = [(i, seed, size, max_faces, min_face, max_face, faceless_frac)
                 for i in range(n)]
         done = _pool_map(_detection_scene_seeded, work, workers)
         if done is not None:
@@ -596,7 +612,7 @@ def detection_scenes(
     rng = np.random.default_rng(seed + 313)
     for i in range(n):
         imgs[i], boxes[i], valid[i] = _render_detection_scene(
-            rng, size, max_faces, min_face, max_face
+            rng, size, max_faces, min_face, max_face, faceless_frac
         )
     return imgs, boxes, valid
 

@@ -50,6 +50,13 @@ def main() -> int:
                     help="parallel scene-render processes (0 = the "
                          "legacy sequential stream; see "
                          "data/synthetic.detection_scenes)")
+    ap.add_argument("--faceless-frac", type=float, default=0.0,
+                    help="fraction of scenes rendered with ZERO faces "
+                         "(pure clutter) — hard negatives that teach "
+                         "the objectness head that distractor shapes "
+                         "alone are background (the tiny_mx variant "
+                         "trained without them fired a 0.84-confidence "
+                         "box on 1/192 faceless frames)")
     ap.add_argument(
         "--output",
         default=os.path.join(
@@ -76,6 +83,7 @@ def main() -> int:
     imgs, boxes, valid = detection_scenes(
         args.train_n + args.eval_n, size=args.input_size,
         max_faces=args.max_faces, seed=args.seed, workers=args.workers,
+        faceless_frac=args.faceless_frac,
     )
     tr = slice(0, args.train_n)
     ev = slice(args.train_n, None)
@@ -162,6 +170,7 @@ def main() -> int:
         {"params": state.params, "batch_stats": state.batch_stats}, cfg, model
     )
     pred_boxes, pred_scores, gt_list = [], [], []
+    faceless_total = faceless_fp = 0
     ev_imgs, ev_boxes, ev_valid = imgs[ev], boxes[ev], valid[ev]
     for s in range(0, len(ev_imgs), 16):
         for rres, gb, gv in zip(
@@ -171,11 +180,21 @@ def main() -> int:
             pred_boxes.append(rres.boxes[rres.valid])
             pred_scores.append(rres.scores[rres.valid])
             gt_list.append(gb[gv])
+            if not gv.any():  # faceless hard negative: count FPs at the
+                # serving decision gate (DetectorConfig.decision_threshold)
+                faceless_total += 1
+                top = float(rres.scores[rres.valid].max()) if (
+                    rres.valid.any()) else 0.0
+                faceless_fp += top > cfg.decision_threshold
     out = evaluate_detections(pred_boxes, pred_scores, gt_list,
                               iou_threshold=0.5)
     print(f"held-out AP@0.5 = {out['ap']:.3f} "
           f"(precision {out.get('precision', float('nan')):.3f} "
           f"recall {out.get('recall', float('nan')):.3f})", flush=True)
+    if faceless_total:
+        print(f"faceless eval frames: {faceless_fp}/{faceless_total} fire "
+              f"above the {cfg.decision_threshold} decision gate",
+              flush=True)
 
     path = os.path.abspath(args.output)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -191,6 +210,9 @@ def main() -> int:
         "params_m": n_params / 1e6,
         "platform": jax.devices()[0].platform,
     }
+    if args.faceless_frac:
+        meta["faceless_frac"] = args.faceless_frac
+        meta["faceless_fp_at_gate"] = [faceless_fp, faceless_total]
     with open(path.replace(".npz", ".json"), "w") as f:
         json.dump(meta, f, indent=2)
     for p in (part_path, part_meta):  # final save supersedes snapshots
