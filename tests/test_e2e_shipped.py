@@ -34,18 +34,24 @@ MIN_AUC = 0.99
 MIN_TAR_AT_FAR_1E2 = 0.95
 
 
-def _has_all_weights():
+def _has_all_weights(detector="tiny_mx"):
     return all(
         pretrained.weights_path(n) is not None
-        for n in ("detector_tiny_s2d.npz", "landmark_68.npz",
+        for n in (f"detector_{detector}.npz", "landmark_68.npz",
                   "embedder_synth_resnet50v2.npz")
     )
 
 
+# both shipped detector variants are gated: tiny_mx is the serving
+# default (config.DetectorConfig.variant), tiny_s2d the 416/320
+# alternative users can still select
 @pytest.mark.slow
-@pytest.mark.skipif(not _has_all_weights(), reason="shipped weights absent")
-def test_shipped_pipeline_quality_gate():
+@pytest.mark.parametrize("detector_variant", ["tiny_mx", "tiny_s2d"])
+def test_shipped_pipeline_quality_gate(detector_variant):
     import dataclasses
+
+    if not _has_all_weights(detector_variant):
+        pytest.skip("shipped weights absent")
 
     from deep_insight_face_tpu.api import FaceRecognition
     from deep_insight_face_tpu.config import default_config
@@ -53,7 +59,7 @@ def test_shipped_pipeline_quality_gate():
 
     cfg = default_config()
     cfg = cfg.replace(
-        detector=dataclasses.replace(cfg.detector, variant="tiny_s2d"))
+        detector=dataclasses.replace(cfg.detector, variant=detector_variant))
     fr = FaceRecognition(cfg)
 
     # ≥20 held-out identities (disjoint from every training seed space:

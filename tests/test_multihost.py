@@ -149,7 +149,11 @@ def test_two_process_mesh_and_collectives(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)  # pipeline compile is ~90 s/proc
+        # pipeline compile is ~90 s/proc unloaded, but under a full
+        # parallel suite run the box is compile-saturated and 600 s has
+        # been hit (flaky timeout, .pytest_r4.log) — budget generously;
+        # a hung worker still fails, just slower
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"

@@ -276,7 +276,9 @@ def test_faceless_frames_report_no_face():
     from deep_insight_face_tpu.utils import pretrained
 
     cfg = default_config()
-    det_vars = pretrained.load_detector_variables("tiny_s2d", 416)
+    # load the weights matching the serving-default variant so this
+    # gates whatever configuration a bare FaceRecognition() serves
+    det_vars = pretrained.load_detector_variables(cfg.detector.variant, 416)
     if det_vars is None:
         pytest.skip("shipped detector weights not present")
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, backbone="mobilenetv2"))
