@@ -514,6 +514,25 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face,
     canvas = bg
     if faceless_frac > 0.0 and rng.random() < faceless_frac:
         k = 0
+        # Half the faceless negatives are "stark" scenes: a flat (often
+        # near-black) background with un-textured solid rectangles —
+        # lens-cap / test-card style frames. The procedural clutter
+        # above always carries per-pixel noise and mid-range colors, so
+        # a detector trained only on it fired 0.68 confidence on a flat
+        # rectangle over black (tests/test_pipeline.py::
+        # test_faceless_frames_report_no_face). Scene rngs are
+        # per-index (_detection_scene_seeded), so the extra draws here
+        # do not perturb other scenes.
+        if rng.random() < 0.5:
+            base = (rng.uniform(0.0, 0.08, 3) if rng.random() < 0.5
+                    else rng.uniform(0.0, 1.0, 3))
+            canvas = np.broadcast_to(
+                base[None, None], (size, size, 3)).copy()
+            for _ in range(int(rng.integers(0, 9))):
+                cx, cy = rng.uniform(0, size, 2)
+                rx, ry = rng.uniform(0.02, 0.15, 2) * size
+                m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
+                canvas[m] = rng.uniform(0, 1, 3)
     else:
         k = int(rng.integers(1, max_faces + 1))
     placed = []
@@ -721,7 +740,7 @@ def pipeline_emitted_dataset(
     batch: int = 32,
     min_face: float = 0.25,
     max_face: float = 0.45,
-    detector_variant: str = "tiny_s2d",
+    detector_variant: str = "tiny_mx",  # the serving default (config.py)
     scenes: "Optional[Tuple[np.ndarray, np.ndarray]]" = None,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Aligned face crops emitted by the REAL serving pipeline (shipped
