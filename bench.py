@@ -257,7 +257,7 @@ def main() -> None:
     # 66 GFLOP/img caps throughput below the 5k target on v5e physics
     # alone; both variants ship, this benchmarks the deployment config
     det_size = int(os.environ.get("BENCH_DETECTOR_INPUT", "416"))
-    det_variant = os.environ.get("BENCH_DETECTOR_VARIANT", "tiny_s2d")
+    det_variant = os.environ.get("BENCH_DETECTOR_VARIANT", "tiny_mx")
     backbone = os.environ.get("BENCH_BACKBONE", cfg.model.backbone)
     norm = os.environ.get("BENCH_NORM", "batch")
     overridden = any(

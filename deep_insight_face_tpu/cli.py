@@ -548,7 +548,7 @@ def build_parser() -> argparse.ArgumentParser:
     td = sub.add_parser("train-detector", help="train a YOLO face detector")
     td.add_argument("--annotations", required=True,
                     help="CSV: path,x1,y1,x2,y2 (one row per box)")
-    td.add_argument("--variant", default="tiny_s2d",
+    td.add_argument("--variant", default="tiny_mx",
                     choices=["full", "tiny", "tiny_s2d", "tiny_mx"])
     td.add_argument("--input-size", type=int, default=416)
     td.add_argument("--batch-size", type=int, default=16)

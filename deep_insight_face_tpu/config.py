@@ -56,12 +56,16 @@ class DetectorConfig:
     detector/yolo_cfg/yolo_anchors.txt).
     """
 
-    # Default = the shipped serving detector: trained tiny_s2d weights
+    # Default = the shipped serving detector: trained tiny_mx weights
+    # (MXU-shaped tiny YOLOv3, models/yolov3.YoloV3TinyMX — measured
+    # 12.8k vs 10.6k faces/s end-to-end against tiny_s2d at equal-or-
+    # better held-out quality; trained with faceless hard negatives)
     # auto-load in api.FaceRecognition / detector.runner.FaceDetector.
-    # "full" (Darknet-53, the reference's default architecture) and
-    # "tiny" remain available but ship no trained weights — select them
+    # tiny_s2d also ships trained weights (416 and 320). "full"
+    # (Darknet-53, the reference's default architecture) and "tiny"
+    # remain available but ship no trained weights — select them
     # only with weights of your own (cli convert-weights / train-detector).
-    variant: str = "tiny_s2d"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem) | tiny_mx (MXU-shaped, models/yolov3.YoloV3TinyMX)
+    variant: str = "tiny_mx"  # full (Darknet-53) | tiny | tiny_s2d (space-to-depth stem) | tiny_mx (MXU-shaped, models/yolov3.YoloV3TinyMX)
     input_size: int = 416
     max_boxes: int = 20
     # Multi-face ENUMERATION threshold (build_multiface_pipeline,

@@ -34,7 +34,7 @@ def load_landmark_variables() -> Optional[Any]:
 
 
 def load_detector_variables(
-    variant: str = "tiny_s2d", input_size: Optional[int] = None
+    variant: str = "tiny_mx", input_size: Optional[int] = None
 ) -> Optional[Any]:
     """Shipped YOLO face-detector variables for ``variant``, or None.
 

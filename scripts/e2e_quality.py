@@ -49,7 +49,7 @@ def main() -> int:
                     help="embedder norm layer — the serving tier's "
                          "shipped MobileNetV2 weights are norm=group")
     ap.add_argument("--detector-input", type=int, default=416)
-    ap.add_argument("--detector-variant", default="tiny_s2d",
+    ap.add_argument("--detector-variant", default="tiny_mx",
                     help="detector architecture (full|tiny|tiny_s2d|tiny_mx)")
     ap.add_argument("--decision-threshold", type=float, default=None,
                     help="override DetectorConfig.decision_threshold "
