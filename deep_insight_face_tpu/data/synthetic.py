@@ -636,9 +636,18 @@ def detection_scenes(
     return imgs, boxes, valid
 
 
-def _render_identity_scene(rng, p, size, min_face, max_face):
+def _render_identity_scene(rng, p, size, min_face, max_face,
+                           rotation_range=0.25, occlude=0.0):
     """One cluttered scene of identity ``p``; draws from ``rng`` in a
-    fixed order."""
+    fixed order.
+
+    ``rotation_range`` (radians) widens in-plane pose; ``occlude`` is
+    the probability of painting an opaque flat rectangle over part of
+    the face AFTER compositing (sunglasses/hand/pole-style occlusion).
+    Defaults draw exactly the historical stream — the occlusion coin is
+    only tossed when ``occlude > 0`` — so committed eval artifacts stay
+    pinned; the hard knobs exist because the standard protocol
+    saturated at 1.0 (STATUS round 4)."""
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
     bg = np.clip(
         rng.uniform(0.05, 0.95, 3)[None, None]
@@ -660,7 +669,7 @@ def _render_identity_scene(rng, p, size, min_face, max_face):
     cy = float(rng.uniform(radius * 0.7, size - radius * 0.7))
     face, lm, alpha = render_face(
         p, size, rng,
-        rotation=float(rng.uniform(-0.25, 0.25)),
+        rotation=float(rng.uniform(-rotation_range, rotation_range)),
         scale=radius / 2,
         center=(cx, cy),
         background=bg,
@@ -669,14 +678,22 @@ def _render_identity_scene(rng, p, size, min_face, max_face):
     canvas = bg * (1 - alpha[..., None]) + (
         face.astype(np.float64) / 255.0
     ) * alpha[..., None]
+    if occlude > 0.0 and rng.random() < occlude:
+        ocx = cx + float(rng.uniform(-0.5, 0.5)) * radius
+        ocy = cy + float(rng.uniform(-0.5, 0.5)) * radius
+        orx, ory = rng.uniform(0.15, 0.35, 2) * radius
+        m = (np.abs(xx - ocx) < orx) & (np.abs(yy - ocy) < ory)
+        canvas[m] = rng.uniform(0, 1, 3)
     return (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
 
 
 def _identity_scene_seeded(args):
-    k, seed, cid, id_offset, size, min_face, max_face = args
+    (k, seed, cid, id_offset, size, min_face, max_face,
+     rotation_range, occlude) = args
     rng = np.random.default_rng(np.random.SeedSequence([seed + 727, k]))
     p = FaceParams.from_seed(id_offset + cid)
-    return _render_identity_scene(rng, p, size, min_face, max_face)
+    return _render_identity_scene(rng, p, size, min_face, max_face,
+                                  rotation_range, occlude)
 
 
 def identity_scenes(
@@ -688,6 +705,8 @@ def identity_scenes(
     min_face: float = 0.25,
     max_face: float = 0.45,
     workers: int = 0,
+    rotation_range: float = 0.25,
+    occlude: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full scenes each containing ONE face of a KNOWN identity — the
     end-to-end quality probe: raw frame in, identity out, so a
@@ -711,7 +730,7 @@ def identity_scenes(
     labels = np.repeat(np.arange(n_ids, dtype=np.int32), per_id)
     if workers > 0:
         work = [(k, seed, int(labels[k]), id_offset, size, min_face,
-                 max_face) for k in range(n)]
+                 max_face, rotation_range, occlude) for k in range(n)]
         done = _pool_map(_identity_scene_seeded, work, workers)
         if done is not None:
             for k, img in enumerate(done):
@@ -725,7 +744,9 @@ def identity_scenes(
     for cid in range(n_ids):
         p = FaceParams.from_seed(id_offset + cid)
         for _ in range(per_id):
-            imgs[k] = _render_identity_scene(rng, p, size, min_face, max_face)
+            imgs[k] = _render_identity_scene(rng, p, size, min_face,
+                                             max_face, rotation_range,
+                                             occlude)
             k += 1
     return imgs, labels
 

@@ -54,9 +54,18 @@ def main() -> int:
     ap.add_argument("--decision-threshold", type=float, default=None,
                     help="override DetectorConfig.decision_threshold "
                          "(the best-face found gate)")
-    ap.add_argument("--output", default=os.path.join(
-        os.path.dirname(__file__), "..", "e2e_quality.json"))
+    ap.add_argument("--hard", action="store_true",
+                    help="hard protocol: smaller faces (0.15-0.35 of "
+                         "frame), ±0.5 rad in-plane pose, 50%% facial "
+                         "occlusion — the standard protocol saturated "
+                         "at 1.0 (STATUS round 4); writes "
+                         "e2e_quality_hard.json unless --output given")
+    ap.add_argument("--output", default=None)
     args = ap.parse_args()
+    if args.output is None:
+        args.output = os.path.join(
+            os.path.dirname(__file__), "..",
+            "e2e_quality_hard.json" if args.hard else "e2e_quality.json")
 
     import jax
 
@@ -99,9 +108,11 @@ def main() -> int:
     print(f"rendering {args.n_ids}×{args.per_id} held-out identity scenes "
           f"@{args.size}…", flush=True)
     # id_offset=20M: disjoint from embedder train (0..) AND eval (10M..)
+    hard_kw = (dict(min_face=0.15, max_face=0.35, rotation_range=0.5,
+                    occlude=0.5) if args.hard else {})
     imgs, labels = identity_scenes(
         args.n_ids, args.per_id, size=args.size, seed=args.seed,
-        id_offset=20_000_000,
+        id_offset=20_000_000, **hard_kw,
     )
     print(f"  done in {time.time()-t0:.0f}s", flush=True)
 
@@ -144,6 +155,7 @@ def main() -> int:
           f"auc {float(report_det.auc):.4f}", flush=True)
 
     out = {
+        "protocol": "hard" if args.hard else "standard",
         "weights_present": weights,
         "n_identities": args.n_ids,
         "scenes": int(len(imgs)),
