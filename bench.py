@@ -291,7 +291,7 @@ def main() -> None:
                 tier_cfg.model, backbone="mobilenetv2", norm="group",
             ),
             detector=dataclasses.replace(
-                tier_cfg.detector, variant="tiny_s2d", input_size=320),
+                tier_cfg.detector, variant="tiny_mx", input_size=320),
         )
         out["serving_tier"] = measure(
             tier_cfg, batch, frame_size=320, measure_single=False
