@@ -762,6 +762,8 @@ def pipeline_emitted_dataset(
     min_face: float = 0.25,
     max_face: float = 0.45,
     detector_variant: str = "tiny_mx",  # the serving default (config.py)
+    detector_input: "Optional[int]" = None,  # None → DetectorConfig default (416)
+    workers: int = 0,  # scene-render process pool (identity_scenes)
     scenes: "Optional[Tuple[np.ndarray, np.ndarray]]" = None,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Aligned face crops emitted by the REAL serving pipeline (shipped
@@ -790,9 +792,14 @@ def pipeline_emitted_dataset(
     from deep_insight_face_tpu.utils import pretrained
 
     cfg = default_config()
+    det_kw = dict(variant=detector_variant)
+    if detector_input is not None:
+        # harvest in the exact serving-tier geometry (e.g. 320-input
+        # detector over natively-320 scenes — STATUS r4 tier finding)
+        det_kw["input_size"] = detector_input
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, image_size=size),
-        detector=dataclasses.replace(cfg.detector, variant=detector_variant),
+        detector=dataclasses.replace(cfg.detector, **det_kw),
     )
     dv = pretrained.load_detector_variables(
         detector_variant, cfg.detector.input_size
@@ -810,7 +817,7 @@ def pipeline_emitted_dataset(
     if scenes is None:
         imgs, labels = identity_scenes(
             n_ids, per_id, size=scene_size, seed=seed, id_offset=id_offset,
-            min_face=min_face, max_face=max_face,
+            min_face=min_face, max_face=max_face, workers=workers,
         )
     else:
         imgs, labels = scenes

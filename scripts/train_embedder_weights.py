@@ -63,6 +63,16 @@ def main() -> int:
     # space; doubles data and covers both distributions).
     ap.add_argument("--world", default="aligned",
                     choices=["aligned", "plain", "pipeline", "mixed"])
+    # pipeline/mixed-world harvest geometry: match the DEPLOYMENT the
+    # embedder will serve (e.g. --scene-size 320 --detector-input 320
+    # for the natively-320 serving tier — STATUS r4: the tier embedder
+    # trained on aligned renders scored e2e TAR@1e-3 0.32 vs the 320
+    # path's 0.999 with a pipeline-trained embedder)
+    ap.add_argument("--scene-size", type=int, default=416)
+    ap.add_argument("--detector-input", type=int, default=None)
+    ap.add_argument("--render-workers", type=int, default=0,
+                    help="scene-render process pool for pipeline-world "
+                         "harvest (0 = in-process)")
     # BN-denial phase start (see TrainConfig.bn_freeze_step). MobileNetV2
     # needs it on this world; ResNetV2 trains clean without it.
     ap.add_argument("--bn-freeze-step", type=int, default=0)
@@ -106,8 +116,12 @@ def main() -> int:
             pipeline_emitted_dataset,
         )
 
+        harvest_kw = dict(scene_size=args.scene_size,
+                          detector_input=args.detector_input,
+                          workers=args.render_workers)
         tr_imgs, tr_labels, det_rate = pipeline_emitted_dataset(
-            args.n_ids, args.per_id, size=args.size, seed=args.seed
+            args.n_ids, args.per_id, size=args.size, seed=args.seed,
+            **harvest_kw,
         )
         print(f"  pipeline-emitted train crops: {len(tr_imgs)} "
               f"(detection rate {det_rate:.3f})", flush=True)
@@ -121,7 +135,7 @@ def main() -> int:
         # ids), so the reported metrics predict e2e serving quality
         ev_imgs, ev_labels, ev_rate = pipeline_emitted_dataset(
             args.eval_ids, args.eval_per_id, size=args.size,
-            seed=args.seed + 1, id_offset=10_000_000,
+            seed=args.seed + 1, id_offset=10_000_000, **harvest_kw,
         )
         print(f"  pipeline-emitted eval crops: {len(ev_imgs)} "
               f"(detection rate {ev_rate:.3f})", flush=True)
