@@ -16,8 +16,10 @@ import pytest
 from deep_insight_face_tpu.utils import pretrained
 
 # ratchet: current shipped quality minus epsilon (see e2e_quality.json:
-# decision-gated detection 0.983, accuracy 0.9985, AUC 0.9999 on 360
-# scenes). Raise these when the shipped weights improve; never lower.
+# r4 tiny_mx serving default measures detection 1.0, accuracy 1.0,
+# AUC 1.0 on 360 scenes). Raise these when the shipped weights improve;
+# never lower. Gate-scale (60 scenes) noise keeps the floors below the
+# measured values.
 # Detection gate: found is gated at DetectorConfig.decision_threshold
 # (0.1, the measured operating point — faceless frames score ≤ 5e-5)
 # while crops come from the candidate floor. p≈0.983 over 60 gate
