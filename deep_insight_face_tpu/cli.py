@@ -500,9 +500,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=20)
     t.add_argument("--steps-per-epoch", type=int, default=100)
     t.add_argument("--batch-size", type=int, default=128)
+    # keep in sync with ops.image.AUGMENTATION_OPTIONS (not imported here:
+    # parser construction stays jax-free; tests/test_cli.py pins the sync)
     t.add_argument("--augmentation", default="non_geometric",
                    choices=["default", "geometric", "non_geometric", "both",
-                            "all", "none"])
+                            "all", "occlusion", "none"])
     t.add_argument("--lr", type=float, default=1e-4)
     t.add_argument("--num-classes", type=int, default=1000)
     t.add_argument("--checkpoint-dir", default="checkpoints")

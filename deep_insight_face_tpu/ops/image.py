@@ -405,6 +405,43 @@ def random_coarse_dropout(
     return images.astype(jnp.float32) * keep[..., None]
 
 
+def random_erase(
+    key: jax.Array,
+    images: jnp.ndarray,
+    min_extent: float = 0.08,
+    max_extent: float = 0.20,
+    center_range: Tuple[float, float] = (0.2, 0.8),
+) -> jnp.ndarray:
+    """Random-erasing occlusion: paint ONE opaque flat-color rectangle per
+    image (sunglasses/hand/pole-style), matching the hard-protocol
+    occluder geometry (`data/synthetic._render_identity_scene`: flat
+    rectangle with half-extents 0.15-0.35 of the face radius, centered
+    within ±0.5 radius of the face — at crop level the face fills the
+    frame, so defaults are half-extents ``min_extent``-``max_extent`` of
+    the image side, centered in the middle ``center_range`` band).
+
+    Unlike :func:`random_coarse_dropout` (scattered blocky zeros), this
+    is a single contiguous occluder with a non-zero fill — the failure
+    mode the hard e2e protocol measures. Mask built from per-image
+    comparisons against a static iota, so it jits with static shapes.
+    """
+    n, h, w, c = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cx = jax.random.uniform(k1, (n, 1, 1), minval=center_range[0] * w,
+                            maxval=center_range[1] * w)
+    cy = jax.random.uniform(k2, (n, 1, 1), minval=center_range[0] * h,
+                            maxval=center_range[1] * h)
+    ext = jax.random.uniform(k3, (n, 2, 1, 1), minval=min_extent,
+                             maxval=max_extent)
+    rx, ry = ext[:, 0] * w, ext[:, 1] * h
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    mask = (jnp.abs(xx - cx) < rx) & (jnp.abs(yy - cy) < ry)
+    color = jax.random.uniform(k4, (n, 1, 1, c), maxval=255.0)
+    x = images.astype(jnp.float32)
+    return jnp.where(mask[..., None], color, x)
+
+
 def random_grayscale(
     key: jax.Array, images: jnp.ndarray, max_alpha: float = 1.0
 ) -> jnp.ndarray:
@@ -543,7 +580,10 @@ def random_rotate_crop(
     return warp_affine_mxu(images, mats, (h, w))
 
 
-AUGMENTATION_OPTIONS = ("default", "geometric", "non_geometric", "both", "all", "none")
+AUGMENTATION_OPTIONS = (
+    "default", "geometric", "non_geometric", "both", "all", "occlusion",
+    "none",
+)
 
 
 def _sometimes(key: jax.Array, prob: float, fn, x: jnp.ndarray) -> jnp.ndarray:
@@ -578,9 +618,9 @@ def augment_batch(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
         return images
-    k = jax.random.split(key, 15)
+    k = jax.random.split(key, 16)
     x = images.astype(jnp.float32)
-    if option in ("geometric", "both", "all", "default"):
+    if option in ("geometric", "both", "all", "default", "occlusion"):
         x = random_flip(k[0], x)  # internally per-image p=0.5
         x = _sometimes(k[1], 0.5, random_crop_resize, x)
     if option == "all":
@@ -595,10 +635,15 @@ def _photometric_stack(k, x: jnp.ndarray, option: str) -> jnp.ndarray:
     the caller, same index assignment), shared with
     :func:`augment_with_landmarks` — photometric ops never move pixels,
     so landmarks pass through them unchanged."""
-    if option in ("non_geometric", "both", "all", "default"):
+    if option in ("non_geometric", "both", "all", "default", "occlusion"):
         x = _sometimes(k[2], 0.5, random_brightness, x)
         x = _sometimes(k[3], 0.5, random_contrast, x)
         x = _sometimes(k[4], 0.5, random_saturation, x)
+    if option == "occlusion":
+        # "default" plus one opaque occluder on half the batch — trains
+        # the embedder against the hard e2e protocol's occlusion
+        # distribution (scripts/e2e_quality.py --hard, occlude=0.5)
+        x = _sometimes(k[15], 0.5, random_erase, x)
     if option in ("non_geometric", "both", "all"):
         x = _sometimes(k[6], 0.3,
                        lambda kk, im: random_multiply(kk, im, 0.8, 1.25), x)
@@ -751,7 +796,7 @@ def augment_with_landmarks(
     mats = random_geometric_matrices(k_geo, n, h, w, option)
     x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
     pts = transform_keypoints(mats, landmarks.astype(jnp.float32))
-    x = _photometric_stack(jax.random.split(k_photo, 15), x, option)
+    x = _photometric_stack(jax.random.split(k_photo, 16), x, option)
     return x, pts
 
 
@@ -801,5 +846,5 @@ def augment_with_segmaps(
     mats = random_geometric_matrices(k_geo, n, h, w, option)
     x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
     seg = transform_segmaps(mats, segmaps, num_classes)
-    x = _photometric_stack(jax.random.split(k_photo, 15), x, option)
+    x = _photometric_stack(jax.random.split(k_photo, 16), x, option)
     return x, seg

@@ -226,6 +226,46 @@ def test_dropout_zeros_pixels(rng):
     assert per_pix.all()
 
 
+def test_random_erase_single_flat_rectangle(rng):
+    x = jnp.full((4, 64, 64, 3), -1.0, np.float32)  # sentinel outside [0,255]
+    out = np.asarray(I.random_erase(jax.random.key(7), x))
+    changed = (out[..., 0] != -1.0)
+    for i in range(4):
+        ys, xs = np.nonzero(changed[i])
+        assert len(ys) > 0  # always one occluder (gating is the caller's job)
+        # contiguous axis-aligned rectangle: bbox area == painted area
+        assert len(ys) == (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+        # half-extents within the documented (0.08, 0.20) fraction bounds
+        assert 2 * 0.08 * 64 - 2 <= ys.max() - ys.min() + 1 <= 2 * 0.20 * 64 + 2
+        # flat fill: one color across the whole occluder, in [0, 255]
+        patch = out[i][changed[i]]
+        assert np.ptp(patch, axis=0).max() < 1e-4
+        assert patch.min() >= 0.0 and patch.max() <= 255.0
+    # untouched pixels are bit-identical
+    np.testing.assert_array_equal(out[~changed], -1.0)
+    # per-image independence: rectangles differ across the batch
+    assert not np.array_equal(changed[0], changed[1])
+
+
+def test_occlusion_stack_is_default_plus_rectangles(rng):
+    x = jnp.array(rng.uniform(0, 255, (16, 32, 32, 3)).astype(np.float32))
+    k = jax.random.key(11)
+    f = jax.jit(lambda kk, im, opt: I.augment_batch(kk, im, opt),
+                static_argnums=2)
+    out_d = np.asarray(f(k, x, "default"))
+    out_o = np.asarray(f(k, x, "occlusion"))
+    assert np.isfinite(out_o).all()
+    # same key → identical flip/crop/photometric draws; the stacks differ
+    # exactly on the erased rectangles of p=0.5-gated images
+    diff = (out_o != out_d).any(axis=-1)
+    per_img = diff.any(axis=(1, 2))
+    assert per_img.any() and not per_img.all()  # 16 coins: both outcomes
+    for i in np.nonzero(per_img)[0]:
+        ys, xs = np.nonzero(diff[i])
+        area = (ys.max() - ys.min() + 1) * (xs.max() - xs.min() + 1)
+        assert len(ys) >= 0.9 * area  # contiguous occluder (float-eq slack)
+
+
 def test_coarse_dropout_blocky(rng):
     x = jnp.full((2, 64, 64, 3), 9.0, np.float32)
     out = np.asarray(I.random_coarse_dropout(jax.random.key(9), x, max_rate=0.4))

@@ -190,3 +190,18 @@ def test_letterbox_image():
     assert (same == 7).all()           # square passthrough
     g = letterbox_image(np.zeros((10, 10), np.uint8), 32)
     assert g.shape == (32, 32, 3)      # grayscale promoted
+
+
+def test_cli_augmentation_choices_match_ops():
+    """cli.py keeps a jax-free literal copy of the augmentation stack
+    names; pin it to ops.image.AUGMENTATION_OPTIONS."""
+    from deep_insight_face_tpu.cli import build_parser
+    from deep_insight_face_tpu.ops.image import AUGMENTATION_OPTIONS
+
+    parser = build_parser()
+    train = next(
+        a for a in parser._subparsers._group_actions[0].choices.values()
+        if any(o.dest == "augmentation" for o in a._actions)
+    )
+    opt = next(o for o in train._actions if o.dest == "augmentation")
+    assert tuple(opt.choices) == AUGMENTATION_OPTIONS
