@@ -751,7 +751,7 @@ def random_geometric_matrices(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     k = jax.random.split(key, 4)
     mats = identity_matrices(n)
-    if option in ("geometric", "both", "all", "default"):
+    if option in ("geometric", "both", "all", "default", "occlusion"):
         mats = compose_affine(_flip_matrices(k[0], n, w, 0.5), mats)
         mats = compose_affine(
             _gated(k[1], 0.5, _crop_resize_matrices(k[1], n, h, w)), mats)

@@ -60,6 +60,10 @@ def main() -> int:
                          "occlusion — the standard protocol saturated "
                          "at 1.0 (STATUS round 4); writes "
                          "e2e_quality_hard.json unless --output given")
+    ap.add_argument("--embedder-weights", default=None,
+                    help="npz path to evaluate INSTEAD of the shipped "
+                         "embedder (candidate-weight validation before "
+                         "promotion; recorded in the output JSON)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
     if args.output is None:
@@ -86,7 +90,13 @@ def main() -> int:
         detector=dataclasses.replace(cfg.detector, **det_kw),
     )
 
-    fr = FaceRecognition(cfg)
+    embed_variables = None
+    if args.embedder_weights:
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        embed_variables = load_npz(args.embedder_weights)
+        print(f"candidate embedder: {args.embedder_weights}", flush=True)
+    fr = FaceRecognition(cfg, embed_variables=embed_variables)
     from deep_insight_face_tpu.utils import pretrained
 
     weights = {
@@ -96,7 +106,9 @@ def main() -> int:
             or pretrained.weights_path(f"detector_{cfg.detector.variant}.npz")
         ) is not None,
         "landmark": pretrained.weights_path("landmark_68.npz") is not None,
-        "embedder": pretrained.load_matching_embedder(cfg.model) is not None,
+        "embedder": (embed_variables is not None
+                     or pretrained.load_matching_embedder(cfg.model)
+                     is not None),
     }
     print(f"shipped weights present: {weights}", flush=True)
     if not all(weights.values()):
@@ -157,6 +169,7 @@ def main() -> int:
     out = {
         "protocol": "hard" if args.hard else "standard",
         "weights_present": weights,
+        "embedder_weights": args.embedder_weights or "shipped",
         "n_identities": args.n_ids,
         "scenes": int(len(imgs)),
         "detection_rate": det_rate,

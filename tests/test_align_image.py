@@ -530,6 +530,21 @@ def test_augment_with_landmarks_points_track_pixels(rng):
     assert checked >= n // 2, f"only {checked}/{n} landmarks stayed in frame"
 
 
+def test_augment_with_landmarks_occlusion_geometry_matches_batch(rng):
+    """The 'occlusion' stack applies the same flip/crop geometry in
+    augment_batch and in the co-transform path (membership tuples stay
+    in sync); landmarks ride the geometry, never the erase."""
+    x = jnp.array(rng.uniform(0, 255, (8, 32, 32, 3)).astype(np.float32))
+    p = jnp.array(rng.uniform(4, 28, (8, 5, 2)).astype(np.float32))
+    out_img, out_pts = I.augment_with_landmarks(
+        jax.random.key(5), x, p, "occlusion"
+    )
+    assert out_img.shape == x.shape and out_pts.shape == p.shape
+    assert np.isfinite(np.asarray(out_pts)).all()
+    # geometry actually fires on some image (flip p=0.5 over 8 coins)
+    assert not np.allclose(np.asarray(out_pts), np.asarray(p))
+
+
 def test_augment_with_landmarks_none_is_identity(rng):
     x = jnp.array(rng.uniform(0, 255, (2, 16, 16, 3)).astype(np.float32))
     p = jnp.array(rng.uniform(0, 15, (2, 68, 2)).astype(np.float32))
