@@ -110,7 +110,8 @@ class DataConfig:
 
     batch_size: int = 128
     image_size: int = 112
-    augmentation: str = "non_geometric"  # default|geometric|non_geometric|both|all|none
+    augmentation: str = "non_geometric"  # one of ops.image.AUGMENTATION_OPTIONS
+    # (default|geometric|non_geometric|both|all|occlusion|none)
     preprocess_mode: str = "tf"  # tf: [-1,1] | caffe: BGR mean-subtract | torch: imagenet norm
     num_decode_threads: int = 8
     prefetch_depth: int = 2

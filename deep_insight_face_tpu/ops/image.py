@@ -833,6 +833,12 @@ def augment_with_segmaps(
     augment_seg). Photometric ops touch only the pixels — labels are
     invariant to them by construction.
 
+    ``option="occlusion"`` is intentionally AMODAL here: random-erase
+    patches overwrite pixels but NOT labels, so the model is supervised
+    to predict the part layout behind the occluder (amodal part
+    segmentation). For modal supervision (labels must show the
+    occluder), erase images and segmaps together outside this helper.
+
     Returns ``(augmented_images, augmented_segmaps)``; images float
     [0, 255] NHWC, segmaps same integer dtype in, class 0 filling
     revealed borders.

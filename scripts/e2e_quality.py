@@ -96,6 +96,23 @@ def main() -> int:
 
         embed_variables = load_npz(args.embedder_weights)
         print(f"candidate embedder: {args.embedder_weights}", flush=True)
+        # honour the JSON sidecar the trainers write: a candidate trained
+        # under a different ModelConfig (e.g. other image_size on a
+        # fully-conv backbone) would otherwise load and evaluate silently
+        # wrong, mis-scoring promotion (ADVICE r4)
+        sidecar = args.embedder_weights.replace(".npz", ".json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                side_model = json.load(f).get("model", {})
+            mine = dataclasses.asdict(cfg.model)
+            bad = {k: (v, mine[k]) for k, v in side_model.items()
+                   if k in mine and mine[k] != v}
+            if bad:
+                print(f"ERROR: candidate sidecar ModelConfig disagrees "
+                      f"with the eval config: {bad} — pass matching "
+                      f"--backbone/--norm (sidecar: {sidecar})",
+                      file=sys.stderr, flush=True)
+                return 2
     fr = FaceRecognition(cfg, embed_variables=embed_variables)
     from deep_insight_face_tpu.utils import pretrained
 

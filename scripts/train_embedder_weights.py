@@ -73,6 +73,11 @@ def main() -> int:
     ap.add_argument("--render-workers", type=int, default=0,
                     help="scene-render process pool for pipeline-world "
                          "harvest (0 = in-process)")
+    ap.add_argument("--harvest-cache", default=None,
+                    help="npz path: load the rendered/harvested train+eval "
+                         "crops from it if present, else harvest then save "
+                         "— a pipeline-world harvest costs ~40 min on one "
+                         "CPU, a recipe retry shouldn't pay it twice")
     # BN-denial phase start (see TrainConfig.bn_freeze_step). MobileNetV2
     # needs it on this world; ResNetV2 trains clean without it.
     ap.add_argument("--bn-freeze-step", type=int, default=0)
@@ -108,10 +113,16 @@ def main() -> int:
     from deep_insight_face_tpu.utils.weights import save_npz
 
     t0 = time.time()
-    print(f"rendering {args.n_ids}×{args.per_id} train + "
-          f"{args.eval_ids}×{args.eval_per_id} held-out identities…",
-          flush=True)
-    if args.world in ("pipeline", "mixed"):
+    if args.harvest_cache and os.path.exists(args.harvest_cache):
+        z = np.load(args.harvest_cache)
+        tr_imgs, tr_labels = z["tr_imgs"], z["tr_labels"]
+        ev_imgs, ev_labels = z["ev_imgs"], z["ev_labels"]
+        print(f"loaded harvest cache {args.harvest_cache}: "
+              f"{len(tr_imgs)} train + {len(ev_imgs)} eval crops", flush=True)
+    elif args.world in ("pipeline", "mixed"):
+        print(f"rendering {args.n_ids}×{args.per_id} train + "
+              f"{args.eval_ids}×{args.eval_per_id} held-out identities…",
+              flush=True)
         from deep_insight_face_tpu.data.synthetic import (
             pipeline_emitted_dataset,
         )
@@ -140,6 +151,9 @@ def main() -> int:
         print(f"  pipeline-emitted eval crops: {len(ev_imgs)} "
               f"(detection rate {ev_rate:.3f})", flush=True)
     else:
+        print(f"rendering {args.n_ids}×{args.per_id} train + "
+              f"{args.eval_ids}×{args.eval_per_id} held-out identities…",
+              flush=True)
         make = (aligned_identity_dataset if args.world == "aligned"
                 else identity_dataset)
         tr_imgs, tr_labels = make(
@@ -151,6 +165,14 @@ def main() -> int:
             seed=args.seed + 1, id_offset=10_000_000,
         )
     print(f"  done in {time.time() - t0:.0f}s", flush=True)
+    if args.harvest_cache and not os.path.exists(args.harvest_cache):
+        os.makedirs(os.path.dirname(os.path.abspath(args.harvest_cache)),
+                    exist_ok=True)
+        np.savez_compressed(
+            args.harvest_cache, tr_imgs=tr_imgs, tr_labels=tr_labels,
+            ev_imgs=ev_imgs, ev_labels=ev_labels,
+        )
+        print(f"saved harvest cache {args.harvest_cache}", flush=True)
 
     cfg = Config(
         model=ModelConfig(

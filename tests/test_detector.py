@@ -74,17 +74,87 @@ def test_nms_matches_oracle(rng, iou_thr):
     )
 
 
-def test_nms_matches_torch(rng):
-    torch = pytest.importorskip("torch")
-    torchvision = pytest.importorskip("torchvision")
-    boxes, scores = _random_boxes(rng, n=80)
-    keep = torchvision.ops.nms(
-        torch.tensor(boxes), torch.tensor(scores), 0.5
-    ).numpy()[:20]
-    ob, _, valid = N.non_max_suppression(
-        jnp.array(boxes), jnp.array(scores), max_boxes=20, iou_threshold=0.5
+# Golden vectors pinning tf.image.non_max_suppression semantics
+# (reference detector/yolov3.py:155-166) on adversarial structure:
+# expected index lists are hand-derived from the tf kernel's rules —
+# stable descending score order (ties → lowest index first), strict
+# `iou > threshold` suppression (boundary-exact IoU KEPT), zero-area
+# boxes neither suppress nor get suppressed (tf treats area<=0 as
+# IoU 0), greedy non-transitive chains. Runs in every environment —
+# replaces a torchvision cross-check that needed an uninstallable extra.
+_GOLDEN_NMS = {
+    "ties_identical": (
+        [[0, 0, 10, 10], [0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]],
+        [0.9, 0.9, 0.9, 0.9],
+        0.5,
+        [0, 3],
+    ),
+    # nested small box: IoU = 100/400 = 0.25
+    "nested_kept": (
+        [[0, 0, 20, 20], [5, 5, 15, 15]],
+        [0.9, 0.8],
+        0.5,
+        [0, 1],
+    ),
+    "nested_suppressed": (
+        [[0, 0, 20, 20], [5, 5, 15, 15]],
+        [0.9, 0.8],
+        0.2,
+        [0],
+    ),
+    # zero-width boxes inside a real one: all survive
+    "degenerate_zero_area": (
+        [[0, 0, 10, 10], [5, 0, 5, 10], [5, 0, 5, 10]],
+        [0.9, 0.8, 0.7],
+        0.5,
+        [0, 1, 2],
+    ),
+    # A kills B (IoU 0.25 > 0.2); C only overlapped B, so C survives
+    "chain_not_transitive": (
+        [[0, 0, 10, 10], [0, 6, 10, 16], [0, 12, 10, 22]],
+        [0.9, 0.8, 0.7],
+        0.2,
+        [0, 2],
+    ),
+    # IoU exactly 0.5 (50/100, exact in float32) at threshold 0.5: kept
+    "boundary_exact_iou": (
+        [[0, 0, 10, 10], [0, 0, 10, 5], [0, 0, 10, 6]],
+        [0.9, 0.8, 0.7],
+        0.5,
+        [0, 1],
+    ),
+    # equal scores, disjoint boxes, max_boxes cap: stable index order
+    "score_tie_order": (
+        [[0, 0, 10, 10], [20, 0, 30, 10], [40, 0, 50, 10]],
+        [0.5, 0.5, 0.5],
+        0.5,
+        [0, 1],
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(_GOLDEN_NMS))
+def test_nms_golden_vectors(case):
+    boxes, scores, iou_thr, want = _GOLDEN_NMS[case]
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    max_boxes = 2 if case == "score_tie_order" else 20
+    ob, os_, valid = N.non_max_suppression(
+        jnp.array(boxes), jnp.array(scores), max_boxes=max_boxes,
+        iou_threshold=iou_thr,
     )
-    np.testing.assert_allclose(np.asarray(ob)[np.asarray(valid)], boxes[keep], atol=1e-5)
+    valid = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(ob)[valid], boxes[want])
+    np.testing.assert_array_equal(np.asarray(os_)[valid], scores[want])
+    # the batched grid kernel must agree bit-for-bit
+    bb, bs, bv = N.non_max_suppression_batch(
+        jnp.array(boxes)[None], jnp.array(scores)[None],
+        max_boxes=max_boxes, iou_threshold=iou_thr,
+    )
+    np.testing.assert_array_equal(np.asarray(bv)[0], valid)
+    np.testing.assert_array_equal(np.asarray(bb)[0][valid], boxes[want])
+    # the in-repo python oracle must agree with the goldens too
+    assert _py_nms(boxes, scores, max_boxes, iou_thr) == want
 
 
 def test_nms_score_threshold(rng):
