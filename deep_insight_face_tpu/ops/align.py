@@ -337,6 +337,87 @@ def warp_affine_mxu(
                       preferred_element_type=jnp.float32)
 
 
+def invert_homography(m: jnp.ndarray) -> jnp.ndarray:
+    """Invert a 3×3 homography via the adjugate (no LU/`linalg.inv` —
+    nine fused multiplies, batch-friendly, and exact up to scale, which
+    is all a projective map is defined to)."""
+    c = jnp.stack([
+        m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1],
+        m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2],
+        m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1],
+        m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2],
+        m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0],
+        m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2],
+        m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0],
+        m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1],
+        m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0],
+    ], axis=-1).reshape(m.shape)
+    # normalize so the bottom-right entry is 1 (the warp assumes it)
+    return c / c[..., 2:3, 2:3]
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "dtype"))
+def warp_projective_mxu(
+    images: jnp.ndarray, matrices: jnp.ndarray, out_hw: Tuple[int, int],
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Batched PROJECTIVE warp as two dense interpolation einsums — the
+    homography generalization of :func:`warp_affine_mxu` (reference menu:
+    imgaug PerspectiveTransform, common/image_aug.py:625; implemented
+    here as MXU contractions instead of a per-pixel gather).
+
+    ``matrices``: (N, 3, 3) FORWARD homographies mapping src → dst
+    (affine inputs embed as homographies with a [0, 0, 1] bottom row and
+    reproduce warp_affine_mxu). Bilinear, constant-0 border.
+
+    Derivation: with the inverse map u = (a·x + b·y + c)/D,
+    v = (d·x + e·y + f)/D, D = g·x + h·y + 1, pass 2's vertical sample
+    position is v(x, y) directly; pass 1 needs the horizontal position
+    at a given SOURCE row v and output column x, so solve v for y:
+    y = (d·x + f − v·(g·x + 1)) / (v·h − e), then evaluate u there.
+    Both grids are elementwise rational maps; the hat-weight matrices
+    and einsums are identical to the affine warp. Same caveats: two-pass
+    row approximation, degenerate when |v·h − e| → 0 (near-90° rotation
+    combined with strong keystone) — augmentation-scale perspectives
+    (corner jitter ≤ ~10%) are far from that.
+    """
+    inv = invert_homography(matrices)
+    a, b, c = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
+    d, e, f = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
+    g, hh = inv[:, 2, 0], inv[:, 2, 1]
+    n, h, w, _ = images.shape
+    oh, ow = out_hw
+    xg = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
+    yg = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
+    vg = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ug = jnp.arange(w, dtype=jnp.float32)
+
+    def _safe(x, eps=1e-6):
+        return jnp.where(jnp.abs(x) < eps, jnp.where(x < 0, -eps, eps), x)
+
+    # pass 1 (horizontal): on the (n, h, ow) grid of (source row v, x)
+    a_, b_, c_ = a[:, None, None], b[:, None, None], c[:, None, None]
+    d_, f_ = d[:, None, None], f[:, None, None]
+    g_, h_ = g[:, None, None], hh[:, None, None]
+    y_of_vx = (d_ * xg + f_ - vg * (g_ * xg + 1.0)) / _safe(
+        vg * h_ - e[:, None, None])
+    den = _safe(g_ * xg + h_ * y_of_vx + 1.0)
+    p1 = (a_ * xg + b_ * y_of_vx + c_) / den  # (n, h, ow)
+    w1 = jnp.maximum(0.0, 1.0 - jnp.abs(ug - p1[..., None]))  # (n, h, ow, w)
+
+    # pass 2 (vertical): v(x, y) on the (n, oh, ow) output grid
+    den2 = _safe(g_ * xg + h_ * yg + 1.0)
+    p2 = (d_ * xg + e[:, None, None] * yg + f_) / den2  # (n, oh, ow)
+    vfull = jnp.arange(h, dtype=jnp.float32)
+    w2 = jnp.maximum(0.0, 1.0 - jnp.abs(vfull - p2[..., None]))  # (n,oh,ow,h)
+
+    x = images.astype(dtype)
+    tmp = jnp.einsum("nvxu,nvuc->nvxc", w1.astype(dtype), x,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return jnp.einsum("nyxv,nvxc->nyxc", w2.astype(dtype), tmp,
+                      preferred_element_type=jnp.float32)
+
+
 def five_from_68(landmarks68: jnp.ndarray) -> jnp.ndarray:
     """(…, 68, 2) iBUG landmarks → (…, 5, 2) ArcFace points: eye centers
     (mean of 36-41 / 42-47), nose tip (30), mouth corners (48, 54)."""

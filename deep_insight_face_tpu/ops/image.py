@@ -580,6 +580,329 @@ def random_rotate_crop(
     return warp_affine_mxu(images, mats, (h, w))
 
 
+# ---------------------------------------------------------------------------
+# local deformation / convolution tail of the reference's "all" stack
+# (reference menu: common/image_aug.py:560-626 — Superpixels, Sharpen,
+# Emboss, EdgeDetect, Invert, ElasticTransformation, PiecewiseAffine,
+# PerspectiveTransform). TPU-first design: ONE gather-free bounded-
+# displacement warp kernel serves both elastic and piecewise-affine
+# (they differ only in how the displacement field is generated);
+# perspective rides the projective generalization of the two-pass MXU
+# warp; the 3×3 convolution family is 9 shifted adds with per-image
+# kernels (same pattern as the separable blur — no vmapped convs).
+# ---------------------------------------------------------------------------
+
+
+def _smooth_field(f: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable gaussian smoothing of (n, h, w) noise fields with a
+    STATIC sigma (weights fold into constants at trace time)."""
+    if sigma < 0.3:
+        return f
+    r = max(int(np.ceil(2.5 * sigma)), 1)
+    offs = np.arange(-r, r + 1, dtype=np.float32)
+    wts = np.exp(-0.5 * (offs / sigma) ** 2)
+    wts /= wts.sum()
+    n, h, w = f.shape
+    fp = jnp.pad(f, ((0, 0), (r, r), (0, 0)), mode="edge")
+    f = sum(float(wts[i]) * jax.lax.dynamic_slice_in_dim(fp, i, h, 1)
+            for i in range(2 * r + 1))
+    fp = jnp.pad(f, ((0, 0), (0, 0), (r, r)), mode="edge")
+    return sum(float(wts[i]) * jax.lax.dynamic_slice_in_dim(fp, i, w, 2)
+               for i in range(2 * r + 1))
+
+
+def displacement_warp(
+    images: jnp.ndarray,
+    dx: jnp.ndarray,
+    dy: jnp.ndarray,
+    max_disp: int,
+) -> jnp.ndarray:
+    """Gather-free bilinear warp by a per-pixel displacement field:
+    ``out(y, x) ≈ src(y + dy[y, x], x + dx[y, x])``, edge-replicate
+    border.
+
+    TPU-first formulation: XLA TPU gathers price a map_coordinates-style
+    warp at tens of ms/batch; with the displacement BOUND static
+    (``|d| ≤ max_disp``, fields are clipped), each 1-D pass is a sum of
+    ``2·max_disp + 2`` statically-shifted slices weighted by hat
+    functions of the fractional displacement — pure VPU FMAs, fused by
+    XLA, no gather unit. Vertical pass then horizontal pass (the same
+    two-pass row approximation as warp_affine_mxu; exact when the field
+    is smooth at the displacement scale).
+
+    ``dx``, ``dy``: (n, h, w) float pixels.
+    """
+    n, h, w, _ = images.shape
+    r = int(max_disp)
+    x = images.astype(jnp.float32)
+
+    def _pass(x, disp, axis):
+        d = jnp.clip(disp, -r, r)[..., None]  # (n, h, w, 1)
+        size = x.shape[axis]
+        pad = [(0, 0)] * 4
+        pad[axis] = (r + 1, r + 1)
+        xp = jnp.pad(x, pad, mode="edge")
+        out = 0.0
+        for off in range(-r, r + 2):
+            wt = jnp.maximum(0.0, 1.0 - jnp.abs(off - d))
+            out = out + wt * jax.lax.dynamic_slice_in_dim(
+                xp, off + r + 1, size, axis)
+        return out
+
+    x = _pass(x, dy, 1)
+    return _pass(x, dx, 2)
+
+
+def random_elastic(
+    key: jax.Array,
+    images: jnp.ndarray,
+    alpha: Tuple[float, float] = (0.5, 3.5),
+    sigma: float = 0.25,
+    max_disp: int = 4,
+) -> jnp.ndarray:
+    """Elastic transformation — move pixels locally by a smoothed random
+    displacement field (reference: common/image_aug.py:619-620
+    iaa.ElasticTransformation(alpha=(0.5, 3.5), sigma=0.25); algorithm
+    after Simard et al. 2003: uniform noise in [-1, 1] → gaussian
+    smoothing (σ in pixels) → scale by a per-image α in pixels, so
+    ``|d| ≤ α ≤ max_disp``)."""
+    n, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    amp = jax.random.uniform(k1, (n, 1, 1), minval=alpha[0], maxval=alpha[1])
+    noise = jax.random.uniform(k2, (2, n, h, w), minval=-1.0, maxval=1.0)
+    dx = _smooth_field(noise[0], sigma) * amp
+    dy = _smooth_field(noise[1], sigma) * amp
+    return displacement_warp(images, dx, dy, max_disp)
+
+
+def random_piecewise_affine(
+    key: jax.Array,
+    images: jnp.ndarray,
+    scale: Tuple[float, float] = (0.01, 0.05),
+    grid: int = 4,
+    max_disp: int = 8,
+) -> jnp.ndarray:
+    """Piecewise-affine jitter — move a coarse grid of control points by
+    gaussian offsets and deform the image accordingly (reference:
+    common/image_aug.py:622-623 iaa.PiecewiseAffine(scale=(0.01, 0.05))).
+
+    Realized as the SAME bounded-displacement warp as
+    :func:`random_elastic`: normal control-point offsets of std
+    ``scale·side`` on a (grid+1)² lattice, bilinearly upsampled to a
+    dense field — which is exactly the piecewise-bilinear interpolation
+    of control-point motion (imgaug's triangulated variant differs only
+    in the interpolation simplices)."""
+    n, h, w, _ = images.shape
+    k1, k2 = jax.random.split(key)
+    sc = jax.random.uniform(k1, (1, n, 1, 1),
+                            minval=scale[0], maxval=scale[1])
+    pts = jax.random.normal(k2, (2, n, grid + 1, grid + 1))
+    side = jnp.array([w, h], jnp.float32)[:, None, None, None]
+    fields = pts * sc * side  # (2, n, g+1, g+1)
+    dense = jax.image.resize(fields, (2, n, h, w), method="linear")
+    return displacement_warp(images, dense[0], dense[1], max_disp)
+
+
+def perspective_matrices_from_corners(
+    src: jnp.ndarray, dst: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched homographies mapping 4 src corners onto 4 dst corners.
+
+    ``src``, ``dst``: (n, 4, 2). Classic DLT: stack the 8 linear
+    constraints and solve the (8, 8) system per image (batched LU —
+    small and TPU-friendly, unlike SVD which compiles for minutes)."""
+    x, y = src[..., 0], src[..., 1]
+    xd, yd = dst[..., 0], dst[..., 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    rows_x = jnp.stack([x, y, o, z, z, z, -x * xd, -y * xd], axis=-1)
+    rows_y = jnp.stack([z, z, z, x, y, o, -x * yd, -y * yd], axis=-1)
+    A = jnp.concatenate([rows_x, rows_y], axis=-2)  # (n, 8, 8)
+    rhs = jnp.concatenate([xd, yd], axis=-1)[..., None]  # (n, 8, 1)
+    hvec = jnp.linalg.solve(A, rhs)[..., 0]  # (n, 8)
+    ones = jnp.ones_like(hvec[..., :1])
+    return jnp.concatenate([hvec, ones], axis=-1).reshape(-1, 3, 3)
+
+
+def random_perspective_matrices(
+    key: jax.Array,
+    n: int,
+    h: int,
+    w: int,
+    scale: Tuple[float, float] = (0.01, 0.1),
+) -> jnp.ndarray:
+    """(n, 3, 3) forward homographies jittering the 4 image corners by
+    per-image gaussian offsets of std ``scale·side`` (reference:
+    common/image_aug.py:625 iaa.PerspectiveTransform(scale=(0.01, 0.1)),
+    keep_size semantics — output stays (h, w))."""
+    k1, k2 = jax.random.split(key)
+    corners = jnp.array(
+        [[0.0, 0.0], [w - 1.0, 0.0], [w - 1.0, h - 1.0], [0.0, h - 1.0]],
+        jnp.float32,
+    )
+    src = jnp.broadcast_to(corners, (n, 4, 2))
+    sc = jax.random.uniform(k1, (n, 1, 1), minval=scale[0], maxval=scale[1])
+    side = jnp.array([w, h], jnp.float32)
+    jitter = jax.random.normal(k2, (n, 4, 2)) * sc * side
+    return perspective_matrices_from_corners(src, src + jitter)
+
+
+def transform_keypoints_projective(
+    matrices: jnp.ndarray, points: jnp.ndarray
+) -> jnp.ndarray:
+    """Apply forward (src→dst) 3×3 homographies to (n, K, 2) (x, y)
+    point arrays — the projective analogue of
+    :func:`transform_keypoints` (exact, unlike pixels' two-pass
+    approximation)."""
+    ones = jnp.ones_like(points[..., :1])
+    p = jnp.concatenate([points, ones], axis=-1)  # (n, K, 3)
+    q = jnp.einsum("nij,nkj->nki", matrices, p)
+    return q[..., :2] / q[..., 2:3]
+
+
+def lift_affine_to_homography(mats: jnp.ndarray) -> jnp.ndarray:
+    """(n, 2, 3) affine → (n, 3, 3) homography (bottom row [0, 0, 1])."""
+    n = mats.shape[0]
+    bottom = jnp.broadcast_to(
+        jnp.array([[[0.0, 0.0, 1.0]]], jnp.float32), (n, 1, 3))
+    return jnp.concatenate([mats, bottom], axis=1)
+
+
+def random_perspective(
+    key: jax.Array,
+    images: jnp.ndarray,
+    scale: Tuple[float, float] = (0.01, 0.1),
+) -> jnp.ndarray:
+    """Random perspective warp of a batch (see
+    :func:`random_perspective_matrices`)."""
+    from deep_insight_face_tpu.ops.align import warp_projective_mxu
+
+    n, h, w, _ = images.shape
+    mats = random_perspective_matrices(key, n, h, w, scale)
+    return warp_projective_mxu(images.astype(jnp.float32), mats, (h, w))
+
+
+def _conv3x3(images: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
+    """Per-image 3×3 convolution as 9 statically-shifted adds with
+    per-image scalar weights (edge-replicate border) — the same
+    shifted-slice pattern as the separable blur; avoids a vmapped conv
+    per image, and XLA fuses the 9 FMAs into one elementwise pass.
+
+    ``kernels``: (n, 3, 3), applied depthwise to every channel."""
+    n, h, w, _ = images.shape
+    x = images.astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = 0.0
+    for i in range(3):
+        for j in range(3):
+            out = out + kernels[:, i, j, None, None, None] * \
+                jax.lax.dynamic_slice(xp, (0, i, j, 0), (n, h, w, x.shape[3]))
+    return out
+
+
+def random_sharpen(
+    key: jax.Array,
+    images: jnp.ndarray,
+    alpha: Tuple[float, float] = (0.0, 1.0),
+    lightness: Tuple[float, float] = (0.75, 1.5),
+) -> jnp.ndarray:
+    """Sharpen and blend with the original (reference:
+    common/image_aug.py:577 iaa.Sharpen(alpha=(0, 1.0),
+    lightness=(0.75, 1.5)) — kernel (1−α)·I + α·[[−1,−1,−1],
+    [−1, 8+l, −1], [−1,−1,−1]], blended in kernel space so one 3×3
+    pass does both)."""
+    n = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    a = jax.random.uniform(k1, (n, 1, 1), minval=alpha[0], maxval=alpha[1])
+    li = jax.random.uniform(k2, (n, 1, 1),
+                            minval=lightness[0], maxval=lightness[1])
+    ident = jnp.zeros((n, 3, 3)).at[:, 1, 1].set(1.0)
+    effect = jnp.full((n, 3, 3), -1.0).at[:, 1, 1].set(8.0 + li[:, 0, 0])
+    kern = (1.0 - a) * ident + a * effect
+    return jnp.clip(_conv3x3(images, kern), 0.0, 255.0)
+
+
+def random_emboss(
+    key: jax.Array,
+    images: jnp.ndarray,
+    alpha: Tuple[float, float] = (0.0, 1.0),
+    strength: Tuple[float, float] = (0.0, 2.0),
+) -> jnp.ndarray:
+    """Emboss and blend (reference: common/image_aug.py:578
+    iaa.Emboss(alpha=(0, 1.0), strength=(0, 2.0)) — pressed-relief
+    kernel [[−1−s, −s, 0], [−s, 1, s], [0, s, 1+s]])."""
+    n = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    a = jax.random.uniform(k1, (n, 1, 1), minval=alpha[0], maxval=alpha[1])
+    s = jax.random.uniform(k2, (n,), minval=strength[0], maxval=strength[1])
+    z = jnp.zeros_like(s)
+    o = jnp.ones_like(s)
+    effect = jnp.stack([
+        jnp.stack([-1.0 - s, -s, z], -1),
+        jnp.stack([-s, o, s], -1),
+        jnp.stack([z, s, 1.0 + s], -1),
+    ], axis=1)  # (n, 3, 3)
+    ident = jnp.zeros((n, 3, 3)).at[:, 1, 1].set(1.0)
+    kern = (1.0 - a) * ident + a * effect
+    return jnp.clip(_conv3x3(images, kern), 0.0, 255.0)
+
+
+def random_edge_detect(
+    key: jax.Array,
+    images: jnp.ndarray,
+    alpha: Tuple[float, float] = (0.5, 1.0),
+) -> jnp.ndarray:
+    """Laplacian edge image blended with the original (reference:
+    common/image_aug.py:583 iaa.EdgeDetect(alpha=(0.5, 1.0)) inside a
+    noise-masked OneOf; here the blend weight is the per-image α)."""
+    n = images.shape[0]
+    a = jax.random.uniform(key, (n, 1, 1), minval=alpha[0], maxval=alpha[1])
+    lap = jnp.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
+    ident = jnp.zeros((n, 3, 3)).at[:, 1, 1].set(1.0)
+    kern = (1.0 - a) * ident + a * jnp.broadcast_to(lap, (n, 3, 3))
+    return jnp.clip(_conv3x3(images, kern), 0.0, 255.0)
+
+
+def random_invert(
+    key: jax.Array,
+    images: jnp.ndarray,
+    prob: float = 0.05,
+) -> jnp.ndarray:
+    """Invert color channels with a PER-CHANNEL coin (reference:
+    common/image_aug.py:592 iaa.Invert(0.05, per_channel=True))."""
+    n, _, _, c = images.shape
+    on = jax.random.bernoulli(key, prob, (n, 1, 1, c))
+    x = images.astype(jnp.float32)
+    return jnp.where(on, 255.0 - x, x)
+
+
+def random_superpixels(
+    key: jax.Array,
+    images: jnp.ndarray,
+    cell: int = 14,
+    p_replace: Tuple[float, float] = (0.0, 1.0),
+) -> jnp.ndarray:
+    """Superpixel-style cell pooling: replace random cells of a regular
+    grid by their mean color (reference: common/image_aug.py:562
+    iaa.Superpixels(p_replace=(0, 1.0), n_segments=(20, 200)) — imgaug
+    runs SLIC; a regular ``cell``² grid keeps the effect (local color
+    posterization) with static shapes and zero clustering cost, the
+    same trade the coarse-dropout op makes)."""
+    n, h, w, c = images.shape
+    gh, gw = -(-h // cell), -(-w // cell)
+    k1, k2 = jax.random.split(key)
+    x = images.astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, gh * cell - h), (0, gw * cell - w), (0, 0)),
+                 mode="edge")
+    means = xp.reshape(n, gh, cell, gw, cell, c).mean(axis=(2, 4))
+    up = jnp.repeat(jnp.repeat(means, cell, 1), cell, 2)[:, :h, :w]
+    rate = jax.random.uniform(k1, (n, 1, 1, 1),
+                              minval=p_replace[0], maxval=p_replace[1])
+    coin = jax.random.uniform(k2, (n, gh, gw, 1)) < rate
+    coin = jnp.repeat(jnp.repeat(coin, cell, 1), cell, 2)[:, :h, :w]
+    return jnp.where(coin, up, x)
+
+
 AUGMENTATION_OPTIONS = (
     "default", "geometric", "non_geometric", "both", "all", "occlusion",
     "none",
@@ -618,7 +941,7 @@ def augment_batch(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
         return images
-    k = jax.random.split(key, 16)
+    k = jax.random.split(key, 24)
     x = images.astype(jnp.float32)
     if option in ("geometric", "both", "all", "default", "occlusion"):
         x = random_flip(k[0], x)  # internally per-image p=0.5
@@ -627,6 +950,11 @@ def augment_batch(
         x = _sometimes(k[5], 0.5, random_affine, x)
         x = _sometimes(k[12], 0.25,
                        lambda kk, im: random_rotate_crop(kk, im, 20.0), x)
+        # local-deformation tail (reference: common/image_aug.py:619-625,
+        # each inside SomeOf(0..5 of 14) ≈ effective per-op rate ~0.18)
+        x = _sometimes(k[16], 0.2, random_perspective, x)
+        x = _sometimes(k[17], 0.2, random_elastic, x)
+        x = _sometimes(k[18], 0.15, random_piecewise_affine, x)
     return _photometric_stack(k, x, option)
 
 
@@ -665,6 +993,13 @@ def _photometric_stack(k, x: jnp.ndarray, option: str) -> jnp.ndarray:
         x = _sometimes(k[13], 0.2, random_contrast_stretch, x)
         x = _sometimes(k[14], 0.15,
                        lambda kk, im: histogram_equalization(im), x)
+        # convolution/posterization tail (reference: image_aug.py:562-592
+        # Superpixels/Sharpen/Emboss/EdgeDetect/Invert under SomeOf(0..5))
+        x = _sometimes(k[19], 0.15, random_sharpen, x)
+        x = _sometimes(k[20], 0.1, random_emboss, x)
+        x = _sometimes(k[21], 0.1, random_edge_detect, x)
+        x = random_invert(k[22], x)  # per-channel p=0.05 internally
+        x = _sometimes(k[23], 0.1, random_superpixels, x)
     return x
 
 
@@ -764,6 +1099,56 @@ def random_geometric_matrices(
     return mats
 
 
+def _gated_homography(key: jax.Array, prob: float, mats: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Per-image coin over (n, 3, 3) homographies (identity when off)."""
+    on = jax.random.bernoulli(key, prob, (mats.shape[0],))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), mats.shape)
+    return jnp.where(on[:, None, None], mats, eye)
+
+
+def _sample_field_at(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of (n, h, w) fields at (n, K, 2) (x, y) points.
+    A K-element gather per image — tiny (K=68), unlike a dense warp."""
+    n, h, w = field.shape
+    x = jnp.clip(pts[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(pts[..., 1], 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    flat = field.reshape(n, h * w)
+
+    def g(yy, xx):
+        return jnp.take_along_axis(flat, yy * w + xx, axis=1)
+
+    return (g(y0, x0) * (1 - fx) * (1 - fy) + g(y0, x1) * fx * (1 - fy)
+            + g(y1, x0) * (1 - fx) * fy + g(y1, x1) * fx * fy)
+
+
+def _sample_deform_tail(
+    key: jax.Array, n: int, h: int, w: int,
+    perspective_prob: float = 0.2,
+    elastic_prob: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample the ``all`` stack's co-transformable deformations: a gated
+    perspective homography and gated elastic displacement fields
+    (zero displacement = exact identity warp). Returns
+    ``(mats3, dx, dy)``."""
+    kp, ke1, ke2, kg = jax.random.split(key, 4)
+    mats3 = _gated_homography(
+        kp, perspective_prob, random_perspective_matrices(kp, n, h, w))
+    amp = jax.random.uniform(ke1, (n, 1, 1), minval=0.5, maxval=3.5)
+    amp = amp * jax.random.bernoulli(kg, elastic_prob, (n, 1, 1))
+    noise = jax.random.uniform(ke2, (2, n, h, w), minval=-1.0, maxval=1.0)
+    dx = _smooth_field(noise[0], 0.25) * amp
+    dy = _smooth_field(noise[1], 0.25) * amp
+    return mats3, dx, dy
+
+
 def augment_with_landmarks(
     key: jax.Array,
     images: jnp.ndarray,
@@ -787,16 +1172,34 @@ def augment_with_landmarks(
     Returns ``(augmented_images, augmented_landmarks)``; images float
     [0, 255] NHWC, landmarks float (x, y) pixels.
     """
-    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+    from deep_insight_face_tpu.ops.align import (
+        warp_affine_mxu, warp_projective_mxu,
+    )
 
     n, h, w, _ = images.shape
     if option == "none":
         return images, landmarks
-    k_geo, k_photo = jax.random.split(key)
+    k_geo, k_deform, k_photo = jax.random.split(key, 3)
     mats = random_geometric_matrices(k_geo, n, h, w, option)
-    x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
-    pts = transform_keypoints(mats, landmarks.astype(jnp.float32))
-    x = _photometric_stack(jax.random.split(k_photo, 16), x, option)
+    if option == "all":
+        # perspective composes into ONE projective warp with the affine
+        # stack (points transform exactly); elastic rides the bounded
+        # displacement warp, points shifted by the first-order inverse
+        # −d(p) (error O(|d|·|∇d|) — sub-pixel at α ≤ 3.5, the same
+        # approximation imgaug makes for elastic keypoints)
+        m3, dx, dy = _sample_deform_tail(k_deform, n, h, w)
+        m3 = m3 @ lift_affine_to_homography(mats)
+        x = warp_projective_mxu(images.astype(jnp.float32), m3, (h, w))
+        pts = transform_keypoints_projective(
+            m3, landmarks.astype(jnp.float32))
+        x = displacement_warp(x, dx, dy, 4)
+        disp = jnp.stack(
+            [_sample_field_at(dx, pts), _sample_field_at(dy, pts)], -1)
+        pts = pts - disp
+    else:
+        x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
+        pts = transform_keypoints(mats, landmarks.astype(jnp.float32))
+    x = _photometric_stack(jax.random.split(k_photo, 24), x, option)
     return x, pts
 
 
@@ -843,14 +1246,28 @@ def augment_with_segmaps(
     [0, 255] NHWC, segmaps same integer dtype in, class 0 filling
     revealed borders.
     """
-    from deep_insight_face_tpu.ops.align import warp_affine_mxu
+    from deep_insight_face_tpu.ops.align import (
+        warp_affine_mxu, warp_projective_mxu,
+    )
 
     n, h, w, _ = images.shape
     if option == "none":
         return images, segmaps
-    k_geo, k_photo = jax.random.split(key)
+    k_geo, k_deform, k_photo = jax.random.split(key, 3)
     mats = random_geometric_matrices(k_geo, n, h, w, option)
-    x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
-    seg = transform_segmaps(mats, segmaps, num_classes)
-    x = _photometric_stack(jax.random.split(k_photo, 16), x, option)
+    if option == "all":
+        # the label map rides the SAME projective + elastic warps as the
+        # pixels (one-hot → warp → argmax, as in transform_segmaps)
+        m3, dx, dy = _sample_deform_tail(k_deform, n, h, w)
+        m3 = m3 @ lift_affine_to_homography(mats)
+        x = warp_projective_mxu(images.astype(jnp.float32), m3, (h, w))
+        x = displacement_warp(x, dx, dy, 4)
+        onehot = jax.nn.one_hot(segmaps, num_classes, dtype=jnp.float32)
+        warped = warp_projective_mxu(onehot, m3, (h, w))
+        warped = displacement_warp(warped, dx, dy, 4)
+        seg = jnp.argmax(warped, axis=-1).astype(segmaps.dtype)
+    else:
+        x = warp_affine_mxu(images.astype(jnp.float32), mats, (h, w))
+        seg = transform_segmaps(mats, segmaps, num_classes)
+    x = _photometric_stack(jax.random.split(k_photo, 24), x, option)
     return x, seg
