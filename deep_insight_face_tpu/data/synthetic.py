@@ -486,13 +486,22 @@ def _pool_map(fn, work, workers):
 
 
 def _render_detection_scene(rng, size, max_faces, min_face, max_face,
-                            faceless_frac=0.0):
+                            faceless_frac=0.0, rotation_range=0.25,
+                            occlude=0.0):
     """One cluttered scene; draws from ``rng`` in a fixed order.
 
     ``faceless_frac``: probability the scene contains NO face (pure
     clutter) — hard negatives that teach the objectness head that
     distractor shapes alone are background. When 0 (default) no coin is
-    drawn, keeping the stream bit-identical to earlier releases."""
+    drawn, keeping the stream bit-identical to earlier releases.
+
+    ``rotation_range`` (radians) widens in-plane pose; ``occlude`` is
+    the per-face probability of painting an opaque flat rectangle over
+    part of the face AFTER compositing — the hard e2e protocol's
+    occlusion style (scripts/e2e_quality.py --hard draws the same
+    rectangle family via _render_identity_scene). Defaults reproduce
+    the historical stream exactly: rotation_range=0.25 draws the same
+    uniform, and the occlusion coin is only tossed when occlude > 0."""
     boxes = np.zeros((max_faces, 4), np.float32)
     valid = np.zeros((max_faces,), bool)
     bg = np.clip(
@@ -553,7 +562,7 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face,
         p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
         face, lm, alpha = render_face(
             p, size, rng,
-            rotation=float(rng.uniform(-0.25, 0.25)),
+            rotation=float(rng.uniform(-rotation_range, rotation_range)),
             scale=radius / 2,
             center=(cx, cy),
             background=canvas,
@@ -562,6 +571,16 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face,
         canvas = canvas * (1 - alpha[..., None]) + (
             face.astype(np.float64) / 255.0
         ) * alpha[..., None]
+        if occlude > 0.0 and rng.random() < occlude:
+            # same occluder family as _render_identity_scene: an opaque
+            # flat rectangle over part of the face (the box label stays
+            # the FULL face extent — amodal supervision teaches the
+            # detector to fire on partially hidden faces)
+            ocx = cx + float(rng.uniform(-0.5, 0.5)) * radius
+            ocy = cy + float(rng.uniform(-0.5, 0.5)) * radius
+            orx, ory = rng.uniform(0.15, 0.35, 2) * radius
+            m = (np.abs(xx - ocx) < orx) & (np.abs(yy - ocy) < ory)
+            canvas[m] = rng.uniform(0, 1, 3)
         x1, y1 = lm.min(0)
         x2, y2 = lm.max(0)
         mx, my = 0.08 * (x2 - x1), 0.08 * (y2 - y1)
@@ -575,10 +594,11 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face,
 
 
 def _detection_scene_seeded(args):
-    i, seed, size, max_faces, min_face, max_face, faceless_frac = args
+    (i, seed, size, max_faces, min_face, max_face, faceless_frac,
+     rotation_range, occlude) = args
     rng = np.random.default_rng(np.random.SeedSequence([seed + 313, i]))
     return _render_detection_scene(rng, size, max_faces, min_face, max_face,
-                                   faceless_frac)
+                                   faceless_frac, rotation_range, occlude)
 
 
 def detection_scenes(
@@ -590,13 +610,17 @@ def detection_scenes(
     max_face: float = 0.45,
     workers: int = 0,
     faceless_frac: float = 0.0,
+    rotation_range: float = 0.25,
+    occlude: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Cluttered scenes with 1..max_faces composited faces.
 
     ``faceless_frac > 0`` makes that fraction of scenes (in expectation)
     pure clutter with zero faces — hard negatives for objectness
-    training. Default 0 keeps both random streams bit-identical to
-    earlier releases.
+    training. ``rotation_range``/``occlude`` widen in-plane pose and add
+    per-face opaque-rectangle occlusion (the hard protocol's stress
+    axes — see _render_detection_scene). Defaults keep both random
+    streams bit-identical to earlier releases.
 
     Returns (images uint8 (N,S,S,3), boxes float32 (N,max_faces,4)
     x1y1x2y2 px, valid bool (N,max_faces)). Boxes are the tight landmark
@@ -616,7 +640,8 @@ def detection_scenes(
     boxes = np.zeros((n, max_faces, 4), np.float32)
     valid = np.zeros((n, max_faces), bool)
     if workers > 0:
-        work = [(i, seed, size, max_faces, min_face, max_face, faceless_frac)
+        work = [(i, seed, size, max_faces, min_face, max_face, faceless_frac,
+                 rotation_range, occlude)
                 for i in range(n)]
         done = _pool_map(_detection_scene_seeded, work, workers)
         if done is not None:
@@ -631,7 +656,8 @@ def detection_scenes(
     rng = np.random.default_rng(seed + 313)
     for i in range(n):
         imgs[i], boxes[i], valid[i] = _render_detection_scene(
-            rng, size, max_faces, min_face, max_face, faceless_frac
+            rng, size, max_faces, min_face, max_face, faceless_frac,
+            rotation_range, occlude,
         )
     return imgs, boxes, valid
 

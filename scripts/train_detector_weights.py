@@ -57,6 +57,15 @@ def main() -> int:
                          "alone are background (the tiny_mx variant "
                          "trained without them fired a 0.84-confidence "
                          "box on 1/192 faceless frames)")
+    ap.add_argument("--rotation-range", type=float, default=0.25,
+                    help="in-plane pose range (radians) for rendered "
+                         "faces — the hard e2e protocol uses 0.5 "
+                         "(scripts/e2e_quality.py --hard)")
+    ap.add_argument("--occlude", type=float, default=0.0,
+                    help="per-face probability of an opaque rectangle "
+                         "occluder painted over the composited face "
+                         "(box label stays the full face extent — "
+                         "amodal supervision); hard protocol uses 0.5")
     ap.add_argument(
         "--output",
         default=os.path.join(
@@ -84,6 +93,7 @@ def main() -> int:
         args.train_n + args.eval_n, size=args.input_size,
         max_faces=args.max_faces, seed=args.seed, workers=args.workers,
         faceless_frac=args.faceless_frac,
+        rotation_range=args.rotation_range, occlude=args.occlude,
     )
     tr = slice(0, args.train_n)
     ev = slice(args.train_n, None)
@@ -213,6 +223,10 @@ def main() -> int:
     if args.faceless_frac:
         meta["faceless_frac"] = args.faceless_frac
         meta["faceless_fp_at_gate"] = [faceless_fp, faceless_total]
+    if args.rotation_range != 0.25:
+        meta["rotation_range"] = args.rotation_range
+    if args.occlude:
+        meta["occlude"] = args.occlude
     with open(path.replace(".npz", ".json"), "w") as f:
         json.dump(meta, f, indent=2)
     for p in (part_path, part_meta):  # final save supersedes snapshots

@@ -105,6 +105,34 @@ def test_detection_scenes_contract():
                 assert (x2 - x1) > 8 and (y2 - y1) > 8
 
 
+def test_detection_scene_hard_knobs():
+    """rotation_range/occlude widen the detector's training distribution
+    toward the hard e2e protocol; defaults must keep the historical
+    random stream bit-identical (committed weights pin it)."""
+    a = detection_scenes(3, size=96, seed=3)
+    b = detection_scenes(3, size=96, seed=3, rotation_range=0.25,
+                         occlude=0.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # hard knobs change pixels but keep the label contract intact
+    imgs, boxes, valid = detection_scenes(6, size=96, seed=3,
+                                          rotation_range=0.5, occlude=1.0)
+    assert not np.array_equal(a[0], imgs[:3])
+    assert valid.any()
+    for i in range(6):
+        for bx, v in zip(boxes[i], valid[i]):
+            if v:
+                x1, y1, x2, y2 = bx
+                assert 0 <= x1 < x2 <= 96 and 0 <= y1 < y2 <= 96
+    # pool path: values independent of worker count with knobs set
+    d2 = detection_scenes(4, size=96, seed=3, workers=2,
+                          rotation_range=0.5, occlude=0.7)
+    d3 = detection_scenes(4, size=96, seed=3, workers=3,
+                          rotation_range=0.5, occlude=0.7)
+    for x, y in zip(d2, d3):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_parallel_scene_rendering_deterministic():
     """workers>0 renders on a process pool with per-scene seeding:
     values must depend only on (seed, scene index) — not worker count —
