@@ -791,6 +791,10 @@ def pipeline_emitted_dataset(
     detector_input: "Optional[int]" = None,  # None → DetectorConfig default (416)
     workers: int = 0,  # scene-render process pool (identity_scenes)
     scenes: "Optional[Tuple[np.ndarray, np.ndarray]]" = None,
+    rotation_range: float = 0.25,  # hard-protocol stress axes — crops
+    occlude: float = 0.0,          # harvested from hard scenes carry the
+                                   # REAL occluder/pose jitter through
+                                   # detector+landmark+align
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Aligned face crops emitted by the REAL serving pipeline (shipped
     detector → Pallas NMS → LandmarkNet → similarity align) over rendered
@@ -844,6 +848,7 @@ def pipeline_emitted_dataset(
         imgs, labels = identity_scenes(
             n_ids, per_id, size=scene_size, seed=seed, id_offset=id_offset,
             min_face=min_face, max_face=max_face, workers=workers,
+            rotation_range=rotation_range, occlude=occlude,
         )
     else:
         imgs, labels = scenes

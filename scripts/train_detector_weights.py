@@ -66,6 +66,12 @@ def main() -> int:
                          "occluder painted over the composited face "
                          "(box label stays the full face extent — "
                          "amodal supervision); hard protocol uses 0.5")
+    ap.add_argument("--scene-cache", default=None,
+                    help="npz path: load rendered scenes from it if "
+                         "present, else render then save — lets two "
+                         "variant runs (e.g. tiny_mx + full) share one "
+                         "scene render (the single-core wall-clock "
+                         "bottleneck)")
     ap.add_argument(
         "--output",
         default=os.path.join(
@@ -87,14 +93,33 @@ def main() -> int:
     from deep_insight_face_tpu.utils.weights import save_npz
 
     t0 = time.time()
-    print(f"rendering {args.train_n}+{args.eval_n} scenes @{args.input_size}…",
-          flush=True)
-    imgs, boxes, valid = detection_scenes(
-        args.train_n + args.eval_n, size=args.input_size,
-        max_faces=args.max_faces, seed=args.seed, workers=args.workers,
-        faceless_frac=args.faceless_frac,
-        rotation_range=args.rotation_range, occlude=args.occlude,
-    )
+    if args.scene_cache and os.path.exists(args.scene_cache):
+        z = np.load(args.scene_cache)
+        imgs, boxes, valid = z["imgs"], z["boxes"], z["valid"]
+        if len(imgs) != args.train_n + args.eval_n or (
+                imgs.shape[1] != args.input_size):
+            print(f"ERROR: scene cache {args.scene_cache} holds "
+                  f"{len(imgs)} scenes @{imgs.shape[1]} — wants "
+                  f"{args.train_n + args.eval_n} @{args.input_size}",
+                  file=sys.stderr, flush=True)
+            return 2
+        print(f"loaded scene cache {args.scene_cache} ({len(imgs)} scenes)",
+              flush=True)
+    else:
+        print(f"rendering {args.train_n}+{args.eval_n} scenes "
+              f"@{args.input_size}…", flush=True)
+        imgs, boxes, valid = detection_scenes(
+            args.train_n + args.eval_n, size=args.input_size,
+            max_faces=args.max_faces, seed=args.seed, workers=args.workers,
+            faceless_frac=args.faceless_frac,
+            rotation_range=args.rotation_range, occlude=args.occlude,
+        )
+        if args.scene_cache:
+            os.makedirs(os.path.dirname(os.path.abspath(args.scene_cache)),
+                        exist_ok=True)
+            np.savez_compressed(args.scene_cache, imgs=imgs, boxes=boxes,
+                                valid=valid)
+            print(f"saved scene cache {args.scene_cache}", flush=True)
     tr = slice(0, args.train_n)
     ev = slice(args.train_n, None)
     print(f"  done in {time.time() - t0:.0f}s "

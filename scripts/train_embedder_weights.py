@@ -70,6 +70,14 @@ def main() -> int:
     # path's 0.999 with a pipeline-trained embedder)
     ap.add_argument("--scene-size", type=int, default=416)
     ap.add_argument("--detector-input", type=int, default=None)
+    # hard-protocol stress axes for the pipeline-world harvest: crops
+    # from small/rotated/occluded faces carry the REAL hard-distribution
+    # jitter through detect→landmark→align (scripts/e2e_quality.py
+    # --hard uses min_face 0.15-0.35, rotation 0.5, occlude 0.5)
+    ap.add_argument("--scene-min-face", type=float, default=0.25)
+    ap.add_argument("--scene-max-face", type=float, default=0.45)
+    ap.add_argument("--scene-rotation", type=float, default=0.25)
+    ap.add_argument("--scene-occlude", type=float, default=0.0)
     ap.add_argument("--render-workers", type=int, default=0,
                     help="scene-render process pool for pipeline-world "
                          "harvest (0 = in-process)")
@@ -129,7 +137,11 @@ def main() -> int:
 
         harvest_kw = dict(scene_size=args.scene_size,
                           detector_input=args.detector_input,
-                          workers=args.render_workers)
+                          workers=args.render_workers,
+                          min_face=args.scene_min_face,
+                          max_face=args.scene_max_face,
+                          rotation_range=args.scene_rotation,
+                          occlude=args.scene_occlude)
         tr_imgs, tr_labels, det_rate = pipeline_emitted_dataset(
             args.n_ids, args.per_id, size=args.size, seed=args.seed,
             **harvest_kw,

@@ -35,6 +35,17 @@ MIN_ACCURACY = 0.98
 MIN_AUC = 0.99
 MIN_TAR_AT_FAR_1E2 = 0.95
 
+# hard-protocol ratchets (VERDICT r4 #3: the standard gate saturated at
+# 1.000 and can no longer discriminate — the hard protocol can). Gate
+# scale (60 scenes: min_face 0.15-0.35, rotation ±0.5 rad, 50%% face
+# occlusion — the scripts/e2e_quality.py --hard distribution) measured
+# with the r4 shipped weights: detection 0.933, accuracy 0.971,
+# TAR@FAR=1e-2 0.574. Floors sit measured-minus-margin; RAISE them when
+# hard-trained weights ship, never lower.
+HARD_MIN_DETECTION_RATE = 0.85
+HARD_MIN_ACCURACY = 0.92
+HARD_MIN_TAR_AT_FAR_1E2 = 0.45
+
 
 def _has_all_weights(detector="tiny_mx"):
     return all(
@@ -44,20 +55,19 @@ def _has_all_weights(detector="tiny_mx"):
     )
 
 
-# both shipped detector variants are gated: tiny_mx is the serving
-# default (config.DetectorConfig.variant), tiny_s2d the 416/320
-# alternative users can still select
-@pytest.mark.slow
-@pytest.mark.parametrize("detector_variant", ["tiny_mx", "tiny_s2d"])
-def test_shipped_pipeline_quality_gate(detector_variant):
+def _run_gate(detector_variant, hard=False):
+    """Shared gate body: render held-out scenes, run the full fused
+    pipeline with shipped weights, return (det_rate, acc, auc, tar,
+    report). ``hard`` switches to the discriminating stress protocol."""
     import dataclasses
-
-    if not _has_all_weights(detector_variant):
-        pytest.skip("shipped weights absent")
 
     from deep_insight_face_tpu.api import FaceRecognition
     from deep_insight_face_tpu.config import default_config
     from deep_insight_face_tpu.data.synthetic import identity_scenes
+    from deep_insight_face_tpu.evaluation.verification import (
+        evaluate_pairs, verification_pairs,
+    )
+    from deep_insight_face_tpu.utils.batching import batched_apply
 
     cfg = default_config()
     cfg = cfg.replace(
@@ -67,27 +77,17 @@ def test_shipped_pipeline_quality_gate(detector_variant):
     # ≥20 held-out identities (disjoint from every training seed space:
     # train 0.., crop-eval 10M.., e2e-script 20M.., this gate 30M..)
     n_ids, per_id = 20, 3
+    hard_kw = (dict(min_face=0.15, max_face=0.35, rotation_range=0.5,
+                    occlude=0.5) if hard else {})
     imgs, labels = identity_scenes(n_ids, per_id, size=416, seed=3,
-                                   id_offset=30_000_000)
-    from deep_insight_face_tpu.utils.batching import batched_apply
-
+                                   id_offset=30_000_000, **hard_kw)
     emb, _, found = batched_apply(fr.face_encodings_batch, imgs, 12)
 
-    det_rate = float(found.mean())
-    assert det_rate >= MIN_DETECTION_RATE, (
-        f"detection rate {det_rate:.3f} < {MIN_DETECTION_RATE} — "
-        f"shipped detector/landmark quality collapsed"
-    )
-
     # LFW-protocol verification over the pipeline embeddings: all same
-    # pairs + 5 impostor pairs per id (shared builder shuffles pair
-    # order so the contiguous k-folds stay two-class)
-    from deep_insight_face_tpu.evaluation.verification import (
-        evaluate_pairs, verification_pairs,
-    )
-
-    # 50 impostors/id × 20 ids = 1,000 impostor pairs — enough to
-    # resolve the FAR=1e-2 operating point the TAR gate reads
+    # pairs + 50 impostor pairs per id = 1,000 impostors — enough to
+    # resolve the FAR=1e-2 operating point the TAR gate reads (shared
+    # builder shuffles pair order so the contiguous k-folds stay
+    # two-class)
     e1, e2, issame = verification_pairs(
         labels, np.random.default_rng(5), impostors_per_id=50,
     )
@@ -96,19 +96,58 @@ def test_shipped_pipeline_quality_gate(detector_variant):
         nrof_folds=10, distance_metric=0, subtract_mean=True,
         far_target=1e-2,
     )
-    acc = float(np.mean(report.accuracy))
-    auc = float(report.auc)
+    return (float(found.mean()), float(np.mean(report.accuracy)),
+            float(report.auc), float(report.val), report)
+
+
+# both shipped detector variants are gated: tiny_mx is the serving
+# default (config.DetectorConfig.variant), tiny_s2d the 416/320
+# alternative users can still select
+@pytest.mark.slow
+@pytest.mark.parametrize("detector_variant", ["tiny_mx", "tiny_s2d"])
+def test_shipped_pipeline_quality_gate(detector_variant):
+    if not _has_all_weights(detector_variant):
+        pytest.skip("shipped weights absent")
+
+    det_rate, acc, auc, tar, report = _run_gate(detector_variant)
+    assert det_rate >= MIN_DETECTION_RATE, (
+        f"detection rate {det_rate:.3f} < {MIN_DETECTION_RATE} — "
+        f"shipped detector/landmark quality collapsed"
+    )
     assert acc >= MIN_ACCURACY, (
         f"e2e verification accuracy {acc:.3f} < {MIN_ACCURACY} — "
         f"shipped pipeline quality collapsed (AUC {auc:.3f}, "
         f"EER {float(report.eer):.3f})"
     )
     assert auc >= MIN_AUC, f"e2e AUC {auc:.3f} < {MIN_AUC}"
-    tar = float(report.val)
     assert tar >= MIN_TAR_AT_FAR_1E2, (
         f"e2e TAR@FAR=1e-2 {tar:.3f} < {MIN_TAR_AT_FAR_1E2} "
         f"(achieved FAR {float(report.far):.4f}) — metric-of-record "
         f"verification quality collapsed"
+    )
+
+
+@pytest.mark.slow
+def test_shipped_pipeline_hard_protocol_gate():
+    """The discriminating regression gate: small (0.15-0.35 frame
+    fraction), ±0.5 rad rotated, 50%-occluded faces — the distribution
+    where shipped quality is NOT saturated, so a regression actually
+    moves the numbers (VERDICT r4 #3). Serving-default detector only."""
+    if not _has_all_weights("tiny_mx"):
+        pytest.skip("shipped weights absent")
+
+    det_rate, acc, auc, tar, report = _run_gate("tiny_mx", hard=True)
+    assert det_rate >= HARD_MIN_DETECTION_RATE, (
+        f"hard detection rate {det_rate:.3f} < {HARD_MIN_DETECTION_RATE} "
+        f"— small/occluded-face detection regressed"
+    )
+    assert acc >= HARD_MIN_ACCURACY, (
+        f"hard e2e accuracy {acc:.3f} < {HARD_MIN_ACCURACY} "
+        f"(AUC {auc:.3f}, EER {float(report.eer):.3f})"
+    )
+    assert tar >= HARD_MIN_TAR_AT_FAR_1E2, (
+        f"hard e2e TAR@FAR=1e-2 {tar:.3f} < {HARD_MIN_TAR_AT_FAR_1E2} "
+        f"(achieved FAR {float(report.far):.4f})"
     )
 
 
