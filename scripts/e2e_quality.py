@@ -64,6 +64,10 @@ def main() -> int:
                     help="npz path to evaluate INSTEAD of the shipped "
                          "embedder (candidate-weight validation before "
                          "promotion; recorded in the output JSON)")
+    ap.add_argument("--detector-weights", default=None,
+                    help="npz path to evaluate INSTEAD of the shipped "
+                         "detector (candidate validation — e.g. a "
+                         "hard-scene retrain — before promotion)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
     if args.output is None:
@@ -113,7 +117,14 @@ def main() -> int:
                       f"--backbone/--norm (sidecar: {sidecar})",
                       file=sys.stderr, flush=True)
                 return 2
-    fr = FaceRecognition(cfg, embed_variables=embed_variables)
+    detector_variables = None
+    if args.detector_weights:
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        detector_variables = load_npz(args.detector_weights)
+        print(f"candidate detector: {args.detector_weights}", flush=True)
+    fr = FaceRecognition(cfg, embed_variables=embed_variables,
+                         detector_variables=detector_variables)
     from deep_insight_face_tpu.utils import pretrained
 
     weights = {
@@ -187,6 +198,7 @@ def main() -> int:
         "protocol": "hard" if args.hard else "standard",
         "weights_present": weights,
         "embedder_weights": args.embedder_weights or "shipped",
+        "detector_weights": args.detector_weights or "shipped",
         "n_identities": args.n_ids,
         "scenes": int(len(imgs)),
         "detection_rate": det_rate,
