@@ -143,6 +143,13 @@ class TrainConfig:
     # instead of materializing (B, C) logits in HBM — use for very large
     # identity counts (ops/margin_softmax.py).
     flash_ce: bool = False
+    # Embedding distillation: when a classifier-mode batch carries
+    # "distill_targets" (teacher embeddings, L2-normalized, same dim),
+    # add distill_weight * mean(1 - cos(student, teacher)) to the loss.
+    # Used to pull a small serving-tier student (MobileNetV2-GN) toward
+    # the flagship ResNet teacher's embedding geometry
+    # (scripts/train_embedder_weights.py --distill-from).
+    distill_weight: float = 0.0
     # After this many steps, train with BatchNorm in running-average mode
     # (BN-denial: gradients can't exploit per-batch statistics; running
     # stats keep tracking via a stop-gradient side pass). 0 = never.

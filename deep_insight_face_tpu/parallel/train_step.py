@@ -325,6 +325,18 @@ def make_train_step(cfg: Config, mesh=None, bn_frozen: bool = False):
                         cfg, emb, params["classifier"]["kernel"], labels
                     )
                     metrics.update(extra)
+                if "distill_targets" in batch and t.distill_weight > 0:
+                    # teacher-embedding distillation: cosine-pull the
+                    # student toward precomputed (normalized) teacher
+                    # embeddings of the same crops (TrainConfig
+                    # .distill_weight)
+                    emb_n = emb / jnp.maximum(
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12
+                    )
+                    tgt = constrain_data(batch["distill_targets"])
+                    dcos = jnp.sum(emb_n * tgt, axis=-1)
+                    loss = loss + t.distill_weight * jnp.mean(1.0 - dcos)
+                    metrics["distill_cos"] = jnp.mean(dcos)
             elif mode == "batch_hard":
                 loss = M.batch_hard_cosine_loss(labels, emb, t.margin)
             elif mode == "batch_hard_euclidean":

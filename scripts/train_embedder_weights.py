@@ -93,6 +93,16 @@ def main() -> int:
     # architectural fix for the BN shortcut; weights are NOT Keras-port
     # compatible (different norm layers), so it is a separate config.
     ap.add_argument("--norm", default="batch", choices=["batch", "group"])
+    # Teacher-embedding distillation: cosine-pull the student toward a
+    # stronger shipped embedder's geometry on the SAME crops (e.g. the
+    # flagship ResNet50V2 teaching the serving-tier MobileNetV2-GN).
+    # The teacher npz needs its JSON sidecar (exact ModelConfig) beside
+    # it; teacher and student must share image size + embedding dim.
+    ap.add_argument("--distill-from", default=None,
+                    help="npz path of a teacher embedder (sidecar "
+                         "required); adds distill_weight*(1-cos) to the "
+                         "ArcFace loss")
+    ap.add_argument("--distill-weight", type=float, default=4.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--output", default=None,
@@ -197,6 +207,8 @@ def main() -> int:
         train=TrainConfig(
             mode="arcface", num_classes=args.n_ids,
             learning_rate=args.lr, warmup_steps=min(200, args.steps // 5),
+            distill_weight=(args.distill_weight if args.distill_from
+                            else 0.0),
         ),
     )
     model = build_embedding_model(cfg.model)
@@ -208,12 +220,49 @@ def main() -> int:
     step_frozen = (make_train_step(cfg, bn_frozen=True)
                    if args.bn_freeze_step > 0 else None)
 
+    # ---- teacher targets for distillation (one batched pass) ----
+    distill_targets = None
+    if args.distill_from:
+        from deep_insight_face_tpu.utils.batching import batched_apply
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        side = args.distill_from.replace(".npz", ".json")
+        with open(side) as f:
+            tmeta = json.load(f)["model"]
+        tfields = {f.name for f in dataclasses.fields(ModelConfig)}
+        tcfg = ModelConfig(**{k: v for k, v in tmeta.items()
+                              if k in tfields})
+        if tcfg.image_size != args.size:
+            print(f"ERROR: teacher image_size {tcfg.image_size} != "
+                  f"student --size {args.size}", file=sys.stderr)
+            return 2
+        if tcfg.embedding_size != args.embedding_size:
+            print(f"ERROR: teacher embedding_size {tcfg.embedding_size} "
+                  f"!= student {args.embedding_size}", file=sys.stderr)
+            return 2
+        teacher = build_embedding_model(tcfg)
+        tvars = load_npz(args.distill_from)
+
+        @jax.jit
+        def tembed(x):
+            return teacher.apply(tvars, preprocess(
+                x.astype(jnp.float32), "tf"), train=False)
+
+        tg = batched_apply(lambda x: tembed(jnp.asarray(x)),
+                           np.asarray(tr_imgs), 128)
+        tg = np.asarray(tg, np.float32)
+        tg /= np.maximum(np.linalg.norm(tg, axis=1, keepdims=True), 1e-12)
+        distill_targets = tg
+        print(f"distill targets: {len(tg)} teacher embeddings from "
+              f"{os.path.basename(args.distill_from)} "
+              f"(weight {args.distill_weight})", flush=True)
+
     chunk = min(8, args.steps)
     aug_opt = cfg.data.augmentation
 
     def make_multi(step_fn):
         @jax.jit
-        def multi_step(state, images_u8, labels, key):
+        def multi_step(state, images_u8, labels, key, targets):
             metrics = None
             for j in range(chunk):
                 x = images_u8[j].astype(jnp.float32)
@@ -224,6 +273,8 @@ def main() -> int:
                     "images": preprocess(x, cfg.data.preprocess_mode),
                     "labels": labels[j],
                 }
+                if distill_targets is not None:
+                    batch["distill_targets"] = targets[j]
                 state, metrics = step_fn(state, batch)
             return state, metrics
         return multi_step
@@ -247,6 +298,9 @@ def main() -> int:
             jnp.asarray(tr_imgs[idx]),
             jnp.asarray(tr_labels[idx].astype(np.int32)),
             jax.random.key(i),
+            jnp.asarray(distill_targets[idx])
+            if distill_targets is not None
+            else jnp.zeros((chunk, 1), jnp.float32),
         )
         done = (i + 1) * chunk
         if (i + 1) % max(n_chunks // 20, 1) == 0:
