@@ -523,16 +523,22 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face,
     canvas = bg
     if faceless_frac > 0.0 and rng.random() < faceless_frac:
         k = 0
-        # Half the faceless negatives are "stark" scenes: a flat (often
-        # near-black) background with un-textured solid rectangles —
-        # lens-cap / test-card style frames. The procedural clutter
-        # above always carries per-pixel noise and mid-range colors, so
-        # a detector trained only on it fired 0.68 confidence on a flat
-        # rectangle over black (tests/test_pipeline.py::
-        # test_faceless_frames_report_no_face). Scene rngs are
+        # Faceless negatives come in three families; the procedural
+        # clutter above is the third (fall-through). Scene rngs are
         # per-index (_detection_scene_seeded), so the extra draws here
         # do not perturb other scenes.
-        if rng.random() < 0.5:
+        # 1. "Stark" scenes: a flat (often near-black) background with
+        #    un-textured solid rectangles — lens-cap / test-card style
+        #    frames. A detector trained only on textured clutter fired
+        #    0.68 confidence on a flat rectangle over black
+        #    (tests/test_pipeline.py::test_faceless_frames_report_no_face).
+        # 2. Noise frames: per-pixel noise at a random spatial scale,
+        #    from full-bandwidth white noise to coarse blocky noise
+        #    (upsampled low-res noise carries face-scale blobs). The
+        #    occluder-hardened tiny_mx fired 0.22 on uniform white
+        #    noise — pure noise sat outside both earlier families.
+        style = rng.random()
+        if style < 1.0 / 3.0:
             base = (rng.uniform(0.0, 0.08, 3) if rng.random() < 0.5
                     else rng.uniform(0.0, 1.0, 3))
             canvas = np.broadcast_to(
@@ -542,6 +548,19 @@ def _render_detection_scene(rng, size, max_faces, min_face, max_face,
                 rx, ry = rng.uniform(0.02, 0.15, 2) * size
                 m = (np.abs(xx - cx) < rx) & (np.abs(yy - cy) < ry)
                 canvas[m] = rng.uniform(0, 1, 3)
+        elif style < 2.0 / 3.0:
+            cell = int(2 ** rng.integers(0, 6))  # 1..32 px blocks
+            n = -(-size // cell)
+            low = rng.uniform(0.0, 1.0, (n, n, 3))
+            noise_img = np.repeat(
+                np.repeat(low, cell, axis=0), cell, axis=1)[:size, :size]
+            amp = float(rng.uniform(0.4, 1.0))
+            canvas = np.clip(
+                noise_img * amp
+                + (1.0 - amp) * rng.uniform(0.0, 1.0, 3)[None, None]
+                + rng.normal(0, rng.uniform(0.0, 0.1), (size, size, 1)),
+                0, 1,
+            )
     else:
         k = int(rng.integers(1, max_faces + 1))
     placed = []
