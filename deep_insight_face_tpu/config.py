@@ -158,6 +158,13 @@ class TrainConfig:
     bn_freeze_step: int = 0
     num_classes: int = 1000  # identities for the classification head
     warmup_steps: int = 100
+    # "constant" (reference behavior — plain Adam, networks/triplet.py:178)
+    # or "cosine": linear warmup then cosine decay to lr_floor_frac·lr over
+    # decay_steps. ArcFace-family recipes depend on end-of-run LR decay for
+    # the final margin-tightening phase; opt-in so existing runs don't shift.
+    lr_schedule: str = "constant"
+    decay_steps: int = 0  # total steps for the cosine horizon (0 = invalid with cosine)
+    lr_floor_frac: float = 0.01
     grad_clip_norm: float = 0.0
     early_stop_patience: int = 5  # (reference: training/triplet.py:99-105)
     checkpoint_dir: str = field(default_factory=lambda: os.path.join(_weights_dir(), "ckpt"))

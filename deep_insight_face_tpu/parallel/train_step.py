@@ -62,7 +62,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     """AdamW with linear warmup (reference uses plain Adam:
     networks/triplet.py:178 lr 1e-4, networks/siamese.py:157 lr 6e-5)."""
     t = cfg.train
-    if t.warmup_steps > 0:
+    if t.lr_schedule == "cosine":
+        if t.decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs decay_steps > 0")
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=t.learning_rate,
+            warmup_steps=max(t.warmup_steps, 1),
+            decay_steps=t.decay_steps,
+            end_value=t.learning_rate * t.lr_floor_frac,
+        )
+    elif t.warmup_steps > 0:
         sched = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
     else:
         sched = t.learning_rate

@@ -41,6 +41,11 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--size", type=int, default=112)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine: warmup then cosine decay over --steps "
+                         "to 1%% of --lr — the standard ArcFace "
+                         "end-of-run margin-tightening decay")
     ap.add_argument("--backbone", default="mobilenetv2")
     ap.add_argument("--width", type=float, default=0.5)
     ap.add_argument("--embedding-size", type=int, default=128)
@@ -207,6 +212,7 @@ def main() -> int:
         train=TrainConfig(
             mode="arcface", num_classes=args.n_ids,
             learning_rate=args.lr, warmup_steps=min(200, args.steps // 5),
+            lr_schedule=args.lr_schedule, decay_steps=args.steps,
             distill_weight=(args.distill_weight if args.distill_from
                             else 0.0),
         ),
@@ -362,7 +368,8 @@ def main() -> int:
     meta = {
         "model": dataclasses.asdict(cfg.model),
         "train": {"mode": "arcface", "num_classes": args.n_ids,
-                  "steps": args.steps, "lr": args.lr},
+                  "steps": args.steps, "lr": args.lr,
+                  "lr_schedule": args.lr_schedule},
         "heldout": {
             "n_identities": args.eval_ids,
             "accuracy": float(np.mean(report.accuracy)),
