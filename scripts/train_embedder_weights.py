@@ -108,6 +108,14 @@ def main() -> int:
                          "required); adds distill_weight*(1-cos) to the "
                          "ArcFace loss")
     ap.add_argument("--distill-weight", type=float, default=4.0)
+    # Warm start: load backbone+head params (and batch_stats) from a
+    # shipped embedder npz (sidecar-validated same ModelConfig); the
+    # ArcFace classifier stays freshly initialized. Fine-tuning the
+    # flagship onto a harder crop distribution preserves the standard-
+    # protocol tail geometry that cold starts have to re-earn.
+    ap.add_argument("--init-from", default=None,
+                    help="npz of a same-config embedder to warm-start "
+                         "backbone+head from (classifier re-initialized)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-save", action="store_true")
     ap.add_argument("--output", default=None,
@@ -219,6 +227,31 @@ def main() -> int:
     )
     model = build_embedding_model(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(cfg.train.seed))
+    if args.init_from:
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        iside = args.init_from.replace(".npz", ".json")
+        if os.path.exists(iside):
+            with open(iside) as f:
+                imeta = json.load(f)["model"]
+            ifields = {f.name for f in dataclasses.fields(ModelConfig)}
+            icfg = ModelConfig(**{k: v for k, v in imeta.items()
+                                  if k in ifields})
+            if icfg != cfg.model:
+                print(f"ERROR: --init-from config {icfg} != student "
+                      f"{cfg.model}", file=sys.stderr)
+                return 2
+        ivars = load_npz(args.init_from)
+        params = dict(state.params)
+        for k, v in ivars["params"].items():
+            if k != "classifier":
+                params[k] = v
+        state = state.replace(
+            params=params,
+            batch_stats=ivars.get("batch_stats", state.batch_stats),
+        )
+        print(f"warm start from {os.path.basename(args.init_from)} "
+              f"(classifier fresh)", flush=True)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"{args.backbone} w={args.width}: {n_params/1e6:.2f}M params",
           flush=True)
@@ -369,7 +402,9 @@ def main() -> int:
         "model": dataclasses.asdict(cfg.model),
         "train": {"mode": "arcface", "num_classes": args.n_ids,
                   "steps": args.steps, "lr": args.lr,
-                  "lr_schedule": args.lr_schedule},
+                  "lr_schedule": args.lr_schedule,
+                  "init_from": (os.path.basename(args.init_from)
+                                if args.init_from else None)},
         "heldout": {
             "n_identities": args.eval_ids,
             "accuracy": float(np.mean(report.accuracy)),
