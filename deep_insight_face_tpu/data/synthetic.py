@@ -363,12 +363,23 @@ def landmark_dataset(
 
 
 def landmark_crop_dataset(
-    n: int, size: int = 112, seed: int = 0
+    n: int, size: int = 112, seed: int = 0,
+    rotation_range: Optional[float] = None, occlude: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Landmark samples with SERVING crop geometry: the face is rendered
     in a larger frame, cropped at its (jittered-margin) landmark bounding
     box — exactly what api.raw_landmarks / the fused pipeline feed the
     LandmarkNet — and landmarks are normalized to the crop.
+
+    ``rotation_range`` (radians) widens in-plane pose beyond render_face's
+    ±0.3 default; ``occlude`` is the probability of painting one opaque
+    flat-color rectangle over part of the face (the same occluder family
+    the hard e2e protocol uses, _render_identity_scene). Supervision stays
+    AMODAL — the labels are the true landmark positions behind the
+    occluder — which is exactly what alignment robustness needs: the
+    LandmarkNet must keep placing the eyes/nose template points even when
+    they are hidden. Defaults reproduce the historical stream bit-exactly
+    (no extra draws are made unless a knob is enabled).
 
     Returns (images uint8 (N,S,S,3), landmarks float32 (N,68,2) in
     crop-normalized [0,1])."""
@@ -380,12 +391,29 @@ def landmark_crop_dataset(
     lms = np.empty((n, 68, 2), np.float32)
     for i in range(n):
         p = FaceParams.from_seed(int(rng.integers(0, 2**31)))
+        rotation = (
+            float(rng.uniform(-rotation_range, rotation_range))
+            if rotation_range is not None else None
+        )
         img, lm = render_face(
             p, frame, rng,
+            rotation=rotation,
             scale=float(rng.uniform(0.3, 0.42)) * frame,
             center=(frame / 2 + float(rng.uniform(-0.08, 0.08)) * frame,
                     frame / 2 + float(rng.uniform(-0.08, 0.08)) * frame),
         )
+        if occlude > 0.0 and rng.random() < occlude:
+            fx1, fy1 = lm.min(0)
+            fx2, fy2 = lm.max(0)
+            fcx, fcy = (fx1 + fx2) / 2, (fy1 + fy2) / 2
+            radius = max(fx2 - fx1, fy2 - fy1) / 2
+            ocx = fcx + float(rng.uniform(-0.5, 0.5)) * radius
+            ocy = fcy + float(rng.uniform(-0.5, 0.5)) * radius
+            orx, ory = rng.uniform(0.15, 0.35, 2) * radius
+            yy, xx = np.mgrid[0:frame, 0:frame]
+            m = (np.abs(xx - ocx) < orx) & (np.abs(yy - ocy) < ory)
+            img = img.copy()
+            img[m] = (rng.uniform(0, 1, 3) * 255).astype(np.uint8)
         x1, y1 = lm.min(0)
         x2, y2 = lm.max(0)
         # detector boxes carry a margin; jitter it so the net tolerates

@@ -68,6 +68,10 @@ def main() -> int:
                     help="npz path to evaluate INSTEAD of the shipped "
                          "detector (candidate validation — e.g. a "
                          "hard-scene retrain — before promotion)")
+    ap.add_argument("--landmark-weights", default=None,
+                    help="npz path to evaluate INSTEAD of the shipped "
+                         "LandmarkNet (candidate validation — e.g. an "
+                         "occlusion-hardened retrain — before promotion)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
     if args.output is None:
@@ -123,8 +127,15 @@ def main() -> int:
 
         detector_variables = load_npz(args.detector_weights)
         print(f"candidate detector: {args.detector_weights}", flush=True)
+    landmark_variables = None
+    if args.landmark_weights:
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        landmark_variables = load_npz(args.landmark_weights)
+        print(f"candidate landmarks: {args.landmark_weights}", flush=True)
     fr = FaceRecognition(cfg, embed_variables=embed_variables,
-                         detector_variables=detector_variables)
+                         detector_variables=detector_variables,
+                         landmark_variables=landmark_variables)
     from deep_insight_face_tpu.utils import pretrained
 
     weights = {
@@ -199,6 +210,7 @@ def main() -> int:
         "weights_present": weights,
         "embedder_weights": args.embedder_weights or "shipped",
         "detector_weights": args.detector_weights or "shipped",
+        "landmark_weights": args.landmark_weights or "shipped",
         "n_identities": args.n_ids,
         "scenes": int(len(imgs)),
         "detection_rate": det_rate,

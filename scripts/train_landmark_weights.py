@@ -38,6 +38,19 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--width", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hard-frac", type=float, default=0.0,
+                    help="fraction of training crops rendered with the hard "
+                         "e2e protocol's stress axes (wide in-plane pose + "
+                         "opaque facial occluders, amodal labels); a hard "
+                         "held-out NME is reported whenever > 0")
+    ap.add_argument("--rotation-range", type=float, default=0.5,
+                    help="in-plane pose range (radians) for the hard "
+                         "fraction (matches scripts/e2e_quality.py --hard)")
+    ap.add_argument("--occlude", type=float, default=0.5,
+                    help="occluder probability for the hard fraction")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params/batch_stats from an existing "
+                         "landmark npz instead of random init")
     ap.add_argument(
         "--output",
         default=os.path.join(
@@ -66,6 +79,23 @@ def main() -> int:
     )
     tr_imgs, ev_imgs = imgs[: args.train_n], imgs[args.train_n :]
     tr_lms, ev_lms = lms[: args.train_n], lms[args.train_n :]
+    ev_hard_imgs = ev_hard_lms = None
+    if args.hard_frac > 0.0:
+        n_hard = int(round(args.train_n * args.hard_frac))
+        print(f"generating {n_hard}+{args.eval_n} hard-stress crops "
+              f"(rotation ±{args.rotation_range}, occlude "
+              f"{args.occlude})…", flush=True)
+        h_imgs, h_lms = landmark_crop_dataset(
+            n_hard + args.eval_n, size=args.size, seed=args.seed + 7001,
+            rotation_range=args.rotation_range, occlude=args.occlude,
+        )
+        # replace a slice of the standard stream (keeps train_n and the
+        # index space the sampler draws from unchanged)
+        tr_imgs = np.concatenate([tr_imgs[: args.train_n - n_hard],
+                                  h_imgs[:n_hard]])
+        tr_lms = np.concatenate([tr_lms[: args.train_n - n_hard],
+                                 h_lms[:n_hard]])
+        ev_hard_imgs, ev_hard_lms = h_imgs[n_hard:], h_lms[n_hard:]
     print(f"  done in {time.time() - t0:.0f}s", flush=True)
 
     model = LandmarkNet(width=args.width)
@@ -76,6 +106,16 @@ def main() -> int:
     state = create_landmark_state(
         model, jax.random.key(args.seed), args.size, learning_rate=schedule
     )
+    if args.init_from:
+        from deep_insight_face_tpu.utils.weights import load_npz
+
+        ivars = load_npz(args.init_from)
+        state = state.replace(
+            params=ivars["params"],
+            batch_stats=ivars.get("batch_stats", state.batch_stats),
+        )
+        print(f"warm start from {os.path.basename(args.init_from)}",
+              flush=True)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"LandmarkNet width={args.width}: {n_params/1e6:.2f}M params",
           flush=True)
@@ -122,13 +162,23 @@ def main() -> int:
         return model.apply(variables, preprocess(x, "tf"), train=False)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    preds = []
-    for s in range(0, len(ev_imgs), 128):
-        preds.append(np.asarray(
-            infer(variables, jnp.asarray(ev_imgs[s : s + 128], jnp.float32))
+
+    def heldout_nme(images, labels):
+        preds = []
+        for s in range(0, len(images), 128):
+            preds.append(np.asarray(infer(
+                variables, jnp.asarray(images[s : s + 128], jnp.float32)
+            )))
+        return float(normalized_mean_error(
+            jnp.asarray(np.concatenate(preds)), jnp.asarray(labels)
         ))
-    pred = np.concatenate(preds)
-    nme = float(normalized_mean_error(jnp.asarray(pred), jnp.asarray(ev_lms)))
+
+    nme = heldout_nme(ev_imgs, ev_lms)
+    nme_hard = None
+    if ev_hard_imgs is not None:
+        nme_hard = heldout_nme(ev_hard_imgs, ev_hard_lms)
+        print(f"held-out HARD NME {nme_hard:.4f} (pose ±"
+              f"{args.rotation_range}, occlude {args.occlude})", flush=True)
 
     # fallback baseline: project the OpenFace template into the crop
     # (exactly api.raw_landmarks without weights)
@@ -149,6 +199,8 @@ def main() -> int:
         "train_n": args.train_n,
         "eval_n": args.eval_n,
         "heldout_nme": nme,
+        "heldout_nme_hard": nme_hard,
+        "hard_frac": args.hard_frac,
         "template_projection_nme": nme_tpl,
         "params_m": n_params / 1e6,
         "platform": jax.devices()[0].platform,

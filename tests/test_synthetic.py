@@ -80,6 +80,23 @@ def test_landmark_crop_dataset_serving_geometry():
     assert (spans > 0.55).all(), spans
 
 
+def test_landmark_crop_dataset_hard_knobs():
+    # defaults reproduce the historical stream bit-exactly (no extra RNG
+    # draws when the knobs are off) — shipped-weight training data is a
+    # pure function of the seed
+    a_imgs, a_lms = landmark_crop_dataset(3, size=64, seed=5)
+    b_imgs, b_lms = landmark_crop_dataset(3, size=64, seed=5)
+    assert (a_imgs == b_imgs).all() and (a_lms == b_lms).all()
+    # the hard stream differs, stays in-contract, and keeps amodal labels
+    # (landmarks normalized to the crop even where the occluder hides them)
+    h_imgs, h_lms = landmark_crop_dataset(
+        3, size=64, seed=5, rotation_range=0.5, occlude=1.0
+    )
+    assert h_imgs.shape == (3, 64, 64, 3)
+    assert not (h_imgs == a_imgs).all()
+    assert (h_lms > -0.05).all() and (h_lms < 1.05).all()
+
+
 def test_identity_dataset_stability():
     imgs, labels = identity_dataset(2, 3, size=48, seed=0)
     assert imgs.shape == (6, 48, 48, 3)
