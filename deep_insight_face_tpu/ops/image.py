@@ -292,34 +292,17 @@ def random_affine(
     return warp_affine_mxu(images, mats, (h, w))
 
 
-def random_gaussian_blur(
-    key: jax.Array,
-    images: jnp.ndarray,
-    max_sigma: float = 2.0,
-    taps: int = 9,
-    prob: float = 0.5,
-) -> jnp.ndarray:
-    """Per-image separable gaussian blur with a random sigma
-    (reference: common/image_aug.py:386 iaa.GaussianBlur((0, 3.0))).
+def _separable_blur(x: jnp.ndarray, wts: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-image separable 1-D kernel along H then W.
 
-    Per-image kernels rule out one shared conv, so the separable blur is
-    computed as ``taps`` shifted adds along H then W with per-image tap
-    weights — static shapes, batched, and cheap (2·taps fused FMAs per
-    pixel) instead of a vmapped conv per image.
-    """
-    n, h, w, _ = images.shape
-    k1, k2 = jax.random.split(key)
-    sigma = jax.random.uniform(k1, (n,), minval=1e-3, maxval=max_sigma)
-    on = jax.random.bernoulli(k2, prob, (n,))
+    Per-image kernels rule out one shared conv, so the blur is computed
+    as ``taps`` shifted adds per axis with per-image tap weights
+    (``wts`` (n, taps), already normalized) — static shapes, batched,
+    and cheap (2·taps fused FMAs per pixel) instead of a vmapped conv
+    per image. Edge-replicate padding."""
+    n, h, w, _ = x.shape
+    taps = wts.shape[1]
     r = taps // 2
-    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    wts = jnp.exp(-0.5 * (offs[None, :] / sigma[:, None]) ** 2)  # (n, taps)
-    # identity kernel where the blur is off → one jnp.where at the weights
-    ident = (offs == 0).astype(jnp.float32)[None, :]
-    wts = jnp.where(on[:, None], wts, ident)
-    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
-    x = images.astype(jnp.float32)
-    # edge-replicate pad then K shifted slices (static) along each axis
     xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
     x = sum(
         wts[:, i, None, None, None] * jax.lax.dynamic_slice_in_dim(xp, i, h, 1)
@@ -331,6 +314,65 @@ def random_gaussian_blur(
         for i in range(taps)
     )
     return x
+
+
+def random_gaussian_blur(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_sigma: float = 2.0,
+    taps: int = 9,
+    prob: float = 0.5,
+) -> jnp.ndarray:
+    """Per-image separable gaussian blur with a random sigma
+    (reference: common/image_aug.py:386 iaa.GaussianBlur((0, 3.0)));
+    see :func:`_separable_blur` for the shifted-adds scheme."""
+    n = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    sigma = jax.random.uniform(k1, (n,), minval=1e-3, maxval=max_sigma)
+    on = jax.random.bernoulli(k2, prob, (n,))
+    r = taps // 2
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    wts = jnp.exp(-0.5 * (offs[None, :] / sigma[:, None]) ** 2)  # (n, taps)
+    # identity kernel where the blur is off → one jnp.where at the weights
+    ident = (offs == 0).astype(jnp.float32)[None, :]
+    wts = jnp.where(on[:, None], wts, ident)
+    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
+    return _separable_blur(images.astype(jnp.float32), wts)
+
+
+def random_average_blur(
+    key: jax.Array,
+    images: jnp.ndarray,
+    max_radius: int = 3,
+) -> jnp.ndarray:
+    """Per-image box blur with a random integer radius 1..``max_radius``
+    (reference: common/image_aug.py:389 iaa.AverageBlur(k=(2, 7)) —
+    kernel size 2r+1). Box weights are built by masking a fixed tap
+    window, so the kernel size is data-dependent but every shape is
+    static."""
+    n = images.shape[0]
+    radius = jax.random.randint(key, (n, 1), 1, max_radius + 1)
+    offs = jnp.arange(-max_radius, max_radius + 1, dtype=jnp.float32)
+    wts = (jnp.abs(offs)[None, :] <= radius).astype(jnp.float32)
+    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
+    return _separable_blur(images.astype(jnp.float32), wts)
+
+
+def median_blur3(images: jnp.ndarray) -> jnp.ndarray:
+    """3×3 median filter (reference: common/image_aug.py:392
+    iaa.MedianBlur(k=(3, 11)) — fixed at k=3: the 9-element median is a
+    static sort on the VPU; the reference's larger data-dependent
+    kernels would need dynamic windows, and at face-crop resolution the
+    visual effect class — impulse-noise removal with edge retention —
+    is already delivered at k=3)."""
+    x = images.astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    n, h, w, c = x.shape
+    shifts = [
+        jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (n, h, w, c))
+        for dy in range(3) for dx in range(3)
+    ]
+    return jnp.median(jnp.stack(shifts, axis=0), axis=0)
 
 
 def random_additive_noise(
@@ -903,6 +945,99 @@ def random_superpixels(
     return jnp.where(coin, up, x)
 
 
+def random_directed_edge_detect(
+    key: jax.Array,
+    images: jnp.ndarray,
+    alpha: Tuple[float, float] = (0.5, 1.0),
+) -> jnp.ndarray:
+    """Edge image from a random direction, blended with the original
+    (reference: common/image_aug.py:584-585
+    iaa.DirectedEdgeDetect(alpha=(0.5, 1.0), direction=(0.0, 1.0))).
+
+    The per-image 3×3 kernel is the directional derivative
+    k[dy,dx] = dx·cosθ + dy·sinθ (zero-sum, so flat regions go black and
+    edges perpendicular to θ light up); its magnitude response replaces
+    imgaug's ray-casting formulation with one batched conv."""
+    n = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    a = jax.random.uniform(k1, (n, 1, 1, 1), minval=alpha[0], maxval=alpha[1])
+    theta = jax.random.uniform(k2, (n, 1, 1), maxval=2.0 * jnp.pi)
+    dy, dx = jnp.mgrid[-1:2, -1:2].astype(jnp.float32)
+    kern = dx[None] * jnp.cos(theta) + dy[None] * jnp.sin(theta)  # (n,3,3)
+    edges = jnp.abs(_conv3x3(images, kern / 2.0))
+    x = images.astype(jnp.float32)
+    return jnp.clip((1.0 - a) * x + a * edges, 0.0, 255.0)
+
+
+def smooth_noise_mask(
+    key: jax.Array,
+    n: int,
+    h: int,
+    w: int,
+    sigma: Tuple[float, float] = (2.0, 10.0),
+    taps: int = 11,
+) -> jnp.ndarray:
+    """Per-image blobby spatial mask in [0, 1]: white PRNG noise pushed
+    through the per-image separable blur, then min-max normalized. The
+    random blur sigma plays the role of imgaug's noise ``exponent``
+    (larger sigma == lower spatial frequency == blobbier mask) — the
+    TPU-first stand-in for simplex/frequency noise, reusing the
+    shifted-adds blur instead of a host noise generator."""
+    k1, k2 = jax.random.split(key)
+    noise = jax.random.uniform(k1, (n, h, w, 1))
+    sig = jax.random.uniform(k2, (n,), minval=sigma[0], maxval=sigma[1])
+    r = taps // 2
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    wts = jnp.exp(-0.5 * (offs[None, :] / sig[:, None]) ** 2)
+    wts = wts / jnp.sum(wts, axis=1, keepdims=True)
+    m = _separable_blur(noise, wts)
+    lo = m.min(axis=(1, 2, 3), keepdims=True)
+    hi = m.max(axis=(1, 2, 3), keepdims=True)
+    return (m - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def random_edge_noise_alpha(
+    key: jax.Array,
+    images: jnp.ndarray,
+) -> jnp.ndarray:
+    """Blend an edge-detect branch into the image through a blobby
+    spatial mask (reference: common/image_aug.py:583-586
+    iaa.SimplexNoiseAlpha(OneOf([EdgeDetect, DirectedEdgeDetect])) —
+    edges appear only inside the mask's blobs, not frame-wide). The
+    OneOf is a per-image coin between the plain and directed edge
+    branches; both compute (static shapes) and the coin selects."""
+    n, h, w, _ = images.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mask = smooth_noise_mask(k1, n, h, w)
+    plain = random_edge_detect(k2, images, alpha=(0.5, 1.0))
+    directed = random_directed_edge_detect(k3, images, alpha=(0.5, 1.0))
+    coin = jax.random.bernoulli(k4, 0.5, (n, 1, 1, 1))
+    effect = jnp.where(coin, plain, directed)
+    x = images.astype(jnp.float32)
+    return mask * effect + (1.0 - mask) * x
+
+
+def random_intensity_noise_alpha(
+    key: jax.Array,
+    images: jnp.ndarray,
+) -> jnp.ndarray:
+    """Blend a per-channel multiply branch against a contrast-normalize
+    branch through a blobby spatial mask (reference:
+    common/image_aug.py:600-607 iaa.FrequencyNoiseAlpha(exponent=(-4,0),
+    first=Multiply((0.5,1.5), per_channel), second=
+    ContrastNormalization((0.5,2.0))) — brightness of SUBAREAS changes,
+    the masked alternative to the whole-image Multiply)."""
+    n, h, w, c = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    mask = smooth_noise_mask(k1, n, h, w)
+    x = images.astype(jnp.float32)
+    factors = jax.random.uniform(k2, (n, 1, 1, c), minval=0.5, maxval=1.5)
+    first = jnp.clip(x * factors, 0.0, 255.0)
+    cf = jax.random.uniform(k3, (n, 1, 1, 1), minval=0.5, maxval=2.0)
+    second = jnp.clip((x - 127.5) * cf + 127.5, 0.0, 255.0)
+    return mask * first + (1.0 - mask) * second
+
+
 AUGMENTATION_OPTIONS = (
     "default", "geometric", "non_geometric", "both", "all", "occlusion",
     "none",
@@ -941,7 +1076,7 @@ def augment_batch(
         raise ValueError(f"augmentation {option!r} not in {AUGMENTATION_OPTIONS}")
     if option == "none":
         return images
-    k = jax.random.split(key, 24)
+    k = jax.random.split(key, 28)
     x = images.astype(jnp.float32)
     if option in ("geometric", "both", "all", "default", "occlusion"):
         x = random_flip(k[0], x)  # internally per-image p=0.5
@@ -980,8 +1115,11 @@ def _photometric_stack(k, x: jnp.ndarray, option: str) -> jnp.ndarray:
             lambda kk, im: random_additive_noise(kk, im, 0.03 * 255.0), x)
     if option == "all":
         # the heavy tail of the reference's "all" imgaug stack
-        # (common/image_aug.py:368-456): blur, dropout, grayscale blend
+        # (common/image_aug.py:368-456): blur OneOf (gaussian/box/median,
+        # image_aug.py:564-573), dropout, grayscale blend
         x = random_gaussian_blur(k[8], x, max_sigma=2.0, prob=0.3)
+        x = _sometimes(k[24], 0.15, random_average_blur, x)
+        x = _sometimes(k[25], 0.1, lambda kk, im: median_blur3(im), x)
         x = _sometimes(k[9], 0.3,
                        lambda kk, im: random_dropout(kk, im, 0.05), x)
         x = _sometimes(k[10], 0.3,
@@ -997,7 +1135,11 @@ def _photometric_stack(k, x: jnp.ndarray, option: str) -> jnp.ndarray:
         # Superpixels/Sharpen/Emboss/EdgeDetect/Invert under SomeOf(0..5))
         x = _sometimes(k[19], 0.15, random_sharpen, x)
         x = _sometimes(k[20], 0.1, random_emboss, x)
-        x = _sometimes(k[21], 0.1, random_edge_detect, x)
+        # blobby-mask blends (SimplexNoiseAlpha/FrequencyNoiseAlpha,
+        # image_aug.py:583-586, 600-607): effects appear in spatial
+        # patches, not frame-wide
+        x = _sometimes(k[21], 0.1, random_edge_noise_alpha, x)
+        x = _sometimes(k[26], 0.15, random_intensity_noise_alpha, x)
         x = random_invert(k[22], x)  # per-channel p=0.05 internally
         x = _sometimes(k[23], 0.1, random_superpixels, x)
     return x

@@ -334,3 +334,73 @@ def test_augment_with_segmaps_all_option_labels_ride_pixels(rng):
     area = oseg.sum(axis=(1, 2))
     want = seg.sum(axis=(1, 2))
     assert (area > want * 0.3).all() and (area < want * 2.5).all()
+
+
+# ---------------------------------------------------------------------------
+# noise-alpha blends + blur OneOf tail (reference: common/image_aug.py:
+# 564-573 AverageBlur/MedianBlur, 583-586 SimplexNoiseAlpha(EdgeDetect|
+# DirectedEdgeDetect), 600-607 FrequencyNoiseAlpha(Multiply|Contrast))
+# ---------------------------------------------------------------------------
+
+
+def test_average_blur_radius1_matches_numpy_box(rng):
+    x = _imgs(rng, n=3, h=10, w=11, c=2)
+    # max_radius=1 forces radius 1 on every image → exact 3×3 box filter
+    got = np.asarray(I.random_average_blur(
+        jax.random.key(0), jnp.array(x), max_radius=1))
+    xp = np.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    want = (xp[:, :-2] + xp[:, 1:-1] + xp[:, 2:]) / 3.0
+    xp = np.pad(want, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    want = (xp[:, :, :-2] + xp[:, :, 1:-1] + xp[:, :, 2:]) / 3.0
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_median_blur3_matches_numpy(rng):
+    x = _imgs(rng, n=2, h=9, w=8, c=1)
+    got = np.asarray(I.median_blur3(jnp.array(x)))
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    wins = np.stack([
+        xp[:, dy:dy + 9, dx:dx + 8] for dy in range(3) for dx in range(3)
+    ], 0)
+    np.testing.assert_allclose(got, np.median(wins, axis=0), atol=1e-4)
+
+
+def test_directed_edge_detect_flat_and_ramp():
+    # flat image: every directional derivative is 0 → α=1 gives black
+    x = jnp.full((1, 8, 8, 3), 120.0)
+    out = np.asarray(I.random_directed_edge_detect(
+        jax.random.key(0), x, alpha=(1.0, 1.0)))
+    np.testing.assert_allclose(out, 0.0, atol=1e-3)
+    # a ramp has nonzero gradient: interior must light up for a generic θ
+    ramp = jnp.broadcast_to(
+        jnp.arange(8.0)[None, None, :, None] * 30.0, (1, 8, 8, 3))
+    out = np.asarray(I.random_directed_edge_detect(
+        jax.random.key(1), ramp, alpha=(1.0, 1.0)))
+    assert out[0, 2:-2, 2:-2].max() > 1.0
+
+
+def test_smooth_noise_mask_contract():
+    m = np.asarray(I.smooth_noise_mask(jax.random.key(3), 4, 24, 20))
+    assert m.shape == (4, 24, 20, 1)
+    assert m.min() >= 0.0 and m.max() <= 1.0 + 1e-6
+    # per-image min-max normalization: each image spans ~[0, 1]
+    np.testing.assert_allclose(m.min(axis=(1, 2, 3)), 0.0, atol=1e-5)
+    np.testing.assert_allclose(m.max(axis=(1, 2, 3)), 1.0, atol=1e-5)
+    # blobby (low-frequency): neighbor pixels are close
+    assert np.abs(np.diff(m[..., 0], axis=2)).mean() < 0.1
+
+
+def test_noise_alpha_blends_are_local(rng):
+    """Where the mask is 0 the original survives; the blend must be
+    spatially NON-uniform (some pixels nearly original, others nearly
+    the effect) — the whole point vs. a scalar-alpha blend."""
+    x = _imgs(rng, n=2, h=24, w=24)
+    for fn in (I.random_edge_noise_alpha, I.random_intensity_noise_alpha):
+        out = np.asarray(fn(jax.random.key(4), jnp.array(x)))
+        assert out.shape == x.shape and np.isfinite(out).all()
+        diff = np.abs(out - x).mean(-1)  # (n, h, w)
+        for i in range(2):
+            d = diff[i]
+            assert d.min() < 0.1 * max(d.max(), 1e-6), (
+                "no near-original region — mask not spatially local")
+        assert diff.max() > 1.0, "effect never applied"
