@@ -1,0 +1,18 @@
+#!/bin/bash
+cd /root/repo
+python scripts/train_embedder_weights.py --backbone resnet50v2 --width 1.0 \
+  --world pipeline --harvest-cache .r5/harvest_hard_flagship.npz \
+  --n-ids 400 --steps 12000 --batch 64 --lr 5e-4 --lr-schedule cosine \
+  --init-from deep_insight_face_tpu/weights/embedder_synth_resnet50v2.npz \
+  --output .r5/embedder_resnet_hardft.npz > .r5/e1_train.log 2>&1
+rc=$?
+if [ $rc -ne 0 ]; then echo "train failed rc=$rc" >> .r5/e1_train.log; touch .r5/e1_queue.done; exit 1; fi
+python scripts/e2e_quality.py --hard \
+  --detector-weights .r5/detector_tiny_mx_hardnoise.npz \
+  --embedder-weights .r5/embedder_resnet_hardft.npz \
+  --output .r5/e2e_hard_e1.json > .r5/e2e_hard_e1.log 2>&1
+python scripts/e2e_quality.py \
+  --detector-weights .r5/detector_tiny_mx_hardnoise.npz \
+  --embedder-weights .r5/embedder_resnet_hardft.npz \
+  --output .r5/e2e_std_e1.json > .r5/e2e_std_e1.log 2>&1
+touch .r5/e1_queue.done
